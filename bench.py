@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Headline benchmark: SIFT1M-scale exact ADC search on one chip.
+
+Config mirrors the reference's SIFT1M setup at BASELINE.json's bit-width
+(N=1M, D=128, M=32, Ks=256, nlist=1000). Baseline to beat: the reference's
+published 0.21 ms/query at N=1,011,000 / M=32 after reconfigure()
+(/root/reference/README.md:140) => 4,762 QPS on CPU.
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": speedup}
+Auxiliary numbers (build time, recall@1, ivf latency) go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def exact_nn_ids(X, queries, block=131072):
+    """Ground-truth nearest neighbor ids (exact f32 L2) computed on device."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n, d = X.shape
+    nb = -(-n // block)
+    npad = nb * block
+    Xp = np.zeros((npad, d), np.float32)
+    Xp[:n] = X
+    xsq = np.full(npad, np.inf, np.float32)
+    xsq[:n] = (X.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    q = jnp.asarray(queries)
+
+    @jax.jit
+    def run(xb, sb):
+        def f(args):
+            xblk, sblk, base = args
+            s = sblk[None, :] - 2.0 * jnp.dot(q, xblk.T,
+                                              preferred_element_type=jnp.float32)
+            neg, idx = lax.top_k(-s, 1)
+            return neg[:, 0], idx[:, 0] + base
+
+        bases = jnp.arange(nb, dtype=jnp.int32) * block
+        negs, idxs = lax.map(f, (xb, sb, bases))  # (nb, Q)
+        best = jnp.argmax(negs, axis=0)  # (Q,)
+        return jnp.take_along_axis(idxs, best[None, :], axis=0)[0]
+
+    return np.asarray(run(jnp.asarray(Xp.reshape(nb, block, d)),
+                          jnp.asarray(xsq.reshape(nb, block))))
+
+
+def main():
+    import jax
+    backend = jax.default_backend()
+    on_accel = backend != "cpu"
+
+    N = int(os.environ.get("BENCH_N", 1_000_000 if on_accel else 100_000))
+    D, M, Ks = 128, 32, 256
+    nlist = 1000 if N >= 500_000 else max(16, int(np.sqrt(N)))
+    Q = int(os.environ.get("BENCH_Q", 1024 if on_accel else 256))
+    topk = 10
+    log(f"backend={backend} N={N} D={D} M={M} Ks={Ks} nlist={nlist} Q={Q} topk={topk}")
+
+    rng = np.random.RandomState(123)
+    X = rng.random((N, D)).astype(np.float32)
+    qidx = rng.choice(N, Q, replace=False)
+    queries = (X[qidx] + rng.normal(0, 0.01, (Q, D))).astype(np.float32)
+
+    from rii_tpu import PQ, Rii
+
+    t0 = time.perf_counter()
+    pq = PQ(M=M, Ks=Ks).fit(X[: min(N, 100_000)], iter=10)
+    t_fit = time.perf_counter() - t0
+    log(f"PQ fit: {t_fit:.1f}s")
+
+    t0 = time.perf_counter()
+    e = Rii(fine_quantizer=pq)
+    e.add_configure(X, nlist=nlist, iter=5)
+    t_build = time.perf_counter() - t0
+    log(f"add_configure: {t_build:.1f}s (nlist={e.nlist}, L0={e.L0})")
+
+    # ---- linear exact-ADC scan throughput (the headline) ----
+    ids, dists = e.query_batch(queries, topk=topk, method="linear")  # warmup/compile
+    ids, dists = e.query_batch(queries, topk=topk, method="linear")
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ids, dists = e.query_batch(queries, topk=topk, method="linear")
+    dt = (time.perf_counter() - t0) / reps
+    ms_per_query = dt / Q * 1e3
+    qps = Q / dt
+    log(f"linear scan: {dt*1e3:.2f} ms/batch, {ms_per_query:.4f} ms/query, {qps:.0f} QPS")
+
+    # ---- recall@1 vs exact f32 ground truth on a query subset ----
+    nq_gt = min(Q, 128)
+    gt = exact_nn_ids(X, queries[:nq_gt])
+    recall1 = float((ids[:nq_gt, :1] == gt[:, None]).any(1).mean())
+    recall10 = float((ids[:nq_gt] == gt[:, None]).any(1).mean())
+    log(f"recall@1={recall1:.3f} recall@10={recall10:.3f} (PQ M={M}, exact-ADC scan)")
+
+    # ---- ivf path latency (reference-style L) ----
+    L = 5000 if N >= 500_000 else e._multiple_of_L0_covering_topk(topk)
+    qiv = queries[:64]
+    e.query_batch(qiv, topk=topk, L=L, method="ivf")  # compile
+    t0 = time.perf_counter()
+    e.query_batch(qiv, topk=topk, L=L, method="ivf")
+    t_ivf = (time.perf_counter() - t0) / len(qiv) * 1e3
+    log(f"ivf (L={L}): {t_ivf:.4f} ms/query")
+
+    baseline_qps = 1.0 / 0.21e-3  # 0.21 ms/query, README.md:140
+    print(json.dumps({
+        "metric": "sift1m_linear_adc_qps_1chip",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / baseline_qps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Host-side builders for the cluster-grouped IVF storage layout.
+
+The reference keeps ragged posting lists of ids (/root/reference/src/rii.h:81-82).
+On TPU we instead keep a single flat code array *permuted so each cluster's
+members are contiguous*, with every bucket padded to an 8-slot multiple:
+
+    order[slot]         -> original vector id (-1 on padding slots)
+    codes_grouped[slot] -> PQ code of that id (0 on padding)
+    norms_grouped[slot] -> ||decode(code)||^2 (+inf on padding: auto-masked)
+    bucket_start[c]     -> first slot of cluster c
+    bucket_len[c]       -> true member count of cluster c
+
+Probing cluster c is then a contiguous (start, cap_max) window read — the
+DMA-friendly replacement for a ragged id walk.
+"""
+
+import numpy as np
+
+_PAD = 8  # slot alignment per bucket (f32 sublane tile)
+
+
+def code_norms_np(codewords, codes):
+    """||decode(code)||^2 per row, on host: (N, M) uint8 -> (N,) f32."""
+    cw = np.asarray(codewords, dtype=np.float32)
+    cnorms = np.sum(cw * cw, axis=-1)  # (M, Ks)
+    m = cnorms.shape[0]
+    if codes.shape[0] == 0:
+        return np.zeros((0,), np.float32)
+    return cnorms[np.arange(m)[None, :], codes.astype(np.int64)].sum(axis=1).astype(np.float32)
+
+
+def build_grouped_layout(codes, norms, assignments, nlist):
+    """Build the grouped layout from per-id cluster assignments.
+
+    assignments may contain -1 (ids not yet in any posting list — the reference's
+    add(update_posting_lists=False) state); those ids are simply absent from the
+    grouped array until the next reconfigure/update.
+
+    Returns a dict of numpy arrays + static ints (see module docstring).
+    """
+    n = codes.shape[0]
+    m = codes.shape[1] if codes.ndim == 2 else 0
+    assignments = np.asarray(assignments, dtype=np.int64)
+    in_bucket = assignments >= 0
+    counts = np.bincount(assignments[in_bucket], minlength=nlist)
+    padded = ((counts + _PAD - 1) // _PAD) * _PAD  # may be 0 for empty buckets
+    bucket_start = np.zeros(nlist, dtype=np.int32)
+    if nlist > 1:
+        bucket_start[1:] = np.cumsum(padded)[:-1].astype(np.int32)
+    cap_max = int(max(int(padded.max()) if nlist else _PAD, _PAD))
+    total = int(padded.sum()) + cap_max  # tail window so every slice is in bounds
+    total = ((total + _PAD - 1) // _PAD) * _PAD
+
+    order = np.full(total, -1, dtype=np.int32)
+    # stable sort by cluster keeps ids ascending within each bucket, matching the
+    # reference's sequential push_back order (/root/reference/src/rii.h:356-358).
+    ids = np.nonzero(in_bucket)[0]
+    sorted_ids = ids[np.argsort(assignments[ids], kind="stable")]
+    dst = np.concatenate(
+        [bucket_start[c] + np.arange(counts[c]) for c in range(nlist)]
+    ).astype(np.int64) if ids.size else np.zeros(0, np.int64)
+    order[dst] = sorted_ids.astype(np.int32)
+
+    codes_grouped = np.zeros((total, m), dtype=np.uint8)
+    norms_grouped = np.full(total, np.inf, dtype=np.float32)
+    valid = order >= 0
+    codes_grouped[valid] = codes[order[valid]]
+    norms_grouped[valid] = norms[order[valid]]
+
+    # cluster id of each slot (-1 on padding): probing masks a (start, cap_max)
+    # window by slot_cluster == probed cluster, so windows that overrun a short
+    # bucket never leak neighbors into the candidate set.
+    slot_cluster = np.full(total, -1, dtype=np.int32)
+    slot_cluster[dst] = assignments[sorted_ids].astype(np.int32)
+
+    return {
+        "slot_cluster": slot_cluster,
+        "order": order,
+        "codes_grouped": codes_grouped,
+        "norms_grouped": norms_grouped,
+        "bucket_start": bucket_start,
+        "bucket_len": counts.astype(np.int32),
+        "cap_max": cap_max,
+        "total": total,
+    }
+
+
+def posting_lists_from_assignments(assignments, nlist):
+    """Materialize reference-style posting lists (list of ascending-id lists)."""
+    assignments = np.asarray(assignments)
+    out = [[] for _ in range(nlist)]
+    in_bucket = assignments >= 0
+    ids = np.nonzero(in_bucket)[0]
+    order = ids[np.argsort(assignments[ids], kind="stable")]
+    counts = np.bincount(assignments[ids], minlength=nlist)
+    off = 0
+    for c in range(nlist):
+        out[c] = order[off : off + counts[c]].astype(int).tolist()
+        off += counts[c]
+    return out

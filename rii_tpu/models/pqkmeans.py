@@ -1,0 +1,171 @@
+"""PQk-means: k-means directly on PQ codes, re-derived for the MXU.
+
+The reference (/root/reference/src/pqkmeans.cpp) clusters uint8 PQ codes with
+(a) assignment by "symmetric distance" = sum of M lookups into precomputed
+(Ks, Ks) codeword distance matrices, and (b) center update by "sparse voting"
+over per-subspace frequency histograms.
+
+Both steps have exact decoded-domain identities, which is how this module maps
+them onto matmuls:
+
+(a) SymmetricDistance(c1, c2) = sum_m ||cw_m[c1_m] - cw_m[c2_m]||^2
+                              = ||decode(c1) - decode(c2)||^2
+    -> assignment is a dense (B, D) x (D, K) GEMM + argmin.
+
+(b) sparse voting: vote_m[j] = sum_{p in cluster} ||cw_m[p_m] - cw_m[j]||^2
+                 = const - 2 <s_m, cw_m[j]> + n * ||cw_m[j]||^2
+    where s_m = sum of the cluster's decoded sub-vectors. So the center update
+    needs only per-cluster decoded sums (a segment-sum) and one
+    (K, M, Ds) x (M, Ds, Ks) contraction + argmin — identical argmin result.
+
+Semantics preserved from the reference:
+- iters total passes; the center update is skipped on the last pass
+  (src/pqkmeans.cpp:110-124), so returned assignments correspond to the
+  returned centers.
+- empty clusters keep their previous center code (src/pqkmeans.cpp:115-120).
+- init = random pick of K distinct input codes with a fixed seed
+  (src/pqkmeans.cpp:177-191); first-index tie-breaking via argmin.
+
+Codes stay uint8 in memory; blocks are decoded on the fly (one-hot matmul), so
+nothing is ever materialized at (N, D) scale.
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from rii_tpu.ops.decode import onehot_decode
+
+_PREC = lax.Precision.HIGHEST
+
+
+def _pow2_at_least(n, lo):
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
+def _assign_blocks(codewords, codes_blocks, weights_blocks, centers_codes, collect):
+    """One assignment pass over all blocks.
+
+    Returns (assigns (nb, B), errors (nb, B), sums (K, D), counts (K,)).
+    sums/counts are zeros when collect=False.
+    """
+    k = centers_codes.shape[0]
+    d = codewords.shape[0] * codewords.shape[2]
+    centers_dec = onehot_decode(centers_codes, codewords)  # (K, D)
+    csq = jnp.sum(centers_dec * centers_dec, axis=-1)  # (K,)
+
+    def body(carry, args):
+        sums, counts = carry
+        codes_b, w_b = args
+        dec_b = onehot_decode(codes_b, codewords)  # (B, D)
+        bsq = jnp.sum(dec_b * dec_b, axis=-1)
+        dist = csq[None, :] - 2.0 * jnp.dot(dec_b, centers_dec.T, precision=_PREC)
+        a_b = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+        e_b = jnp.min(dist, axis=-1) + bsq
+        if collect:
+            sums = sums + jax.ops.segment_sum(dec_b * w_b[:, None], a_b, num_segments=k)
+            counts = counts + jax.ops.segment_sum(w_b, a_b, num_segments=k)
+        return (sums, counts), (a_b, e_b)
+
+    init = (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32))
+    (sums, counts), (assigns, errors) = lax.scan(body, init, (codes_blocks, weights_blocks))
+    return assigns, errors, sums, counts
+
+
+def _update_centers(codewords, centers_codes, sums, counts):
+    """Sparse-voting center update in decoded space (exact argmin equivalence)."""
+    m, ks, ds = codewords.shape
+    k = centers_codes.shape[0]
+    cnorms = jnp.sum(codewords * codewords, axis=-1)  # (M, Ks)
+    sums_r = sums.reshape(k, m, ds)
+    cross = jnp.einsum("kmd,mjd->kmj", sums_r, codewords, precision=_PREC)  # (K, M, Ks)
+    score = counts[:, None, None] * cnorms[None, :, :] - 2.0 * cross
+    new_codes = jnp.argmin(score, axis=-1).astype(jnp.int32)  # (K, M)
+    return jnp.where(counts[:, None] > 0, new_codes, centers_codes)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _fit(codewords, codes_blocks, weights_blocks, centers0, iters):
+    centers = centers0
+    for _ in range(iters - 1):
+        _, _, sums, counts = _assign_blocks(
+            codewords, codes_blocks, weights_blocks, centers, collect=True)
+        centers = _update_centers(codewords, centers, sums, counts)
+    assigns, errors, _, _ = _assign_blocks(
+        codewords, codes_blocks, weights_blocks, centers, collect=False)
+    return centers, assigns, errors
+
+
+@jax.jit
+def _predict(codewords, codes_blocks, weights_blocks, centers_codes):
+    assigns, _, _, _ = _assign_blocks(
+        codewords, codes_blocks, weights_blocks, centers_codes, collect=False)
+    return assigns
+
+
+def _pad_blocks(codes, block):
+    """(N, M) -> codes_blocks (nb, B, M) int32, weights (nb, B) f32."""
+    n, m = codes.shape
+    npad = -(-n // block) * block
+    cb = np.zeros((npad, m), dtype=np.int32)
+    cb[:n] = codes
+    w = np.zeros((npad,), dtype=np.float32)
+    w[:n] = 1.0
+    return (jnp.asarray(cb.reshape(-1, block, m)),
+            jnp.asarray(w.reshape(-1, block)))
+
+
+def pqkmeans_fit(codewords, codes, k, iters=5, seed=0, block=4096, verbose=False):
+    """Cluster PQ codes into k centers (which are themselves PQ codes).
+
+    Args:
+        codewords: (M, Ks, Ds) float32 numpy/jax array.
+        codes: (N, M) uint8 numpy array.
+        k: number of clusters; k <= N required.
+        iters: total passes (last pass assigns only, like the reference).
+        seed: init seed (deterministic random pick of k input codes).
+
+    Returns:
+        (centers (k, M) uint8 numpy, assignments (N,) int32 numpy).
+    """
+    codes = np.asarray(codes)
+    n = codes.shape[0]
+    assert 1 <= k <= n, (k, n)
+    assert iters >= 1
+    pick = np.random.RandomState(seed).permutation(n)[:k]
+    centers0 = jnp.asarray(codes[pick].astype(np.int32))
+    cw = jnp.asarray(codewords, dtype=jnp.float32)
+    blk = min(block, _pow2_at_least(n, 256))
+    codes_blocks, weights_blocks = _pad_blocks(codes, blk)
+    centers, assigns, errors = _fit(cw, codes_blocks, weights_blocks, centers0, int(iters))
+    if verbose:
+        w = np.asarray(weights_blocks).reshape(-1)[: n]
+        err = float(np.asarray(errors).reshape(-1)[:n].mean())
+        print(f"pqkmeans: k={k}, N={n}, iters={iters}, mean err {err:.6f}")
+    return (np.asarray(centers, dtype=np.uint8),
+            np.asarray(assigns).reshape(-1)[:n].astype(np.int32))
+
+
+def pqkmeans_predict(codewords, centers, codes, block=4096):
+    """Assign each PQ code to its nearest center (symmetric distance argmin).
+
+    The TPU equivalent of UpdatePostingLists' predict_one loop
+    (/root/reference/src/rii.h:335-359).
+    """
+    codes = np.asarray(codes)
+    n = codes.shape[0]
+    if n == 0:
+        return np.zeros((0,), dtype=np.int32)
+    cw = jnp.asarray(codewords, dtype=jnp.float32)
+    blk = min(block, _pow2_at_least(n, 256))
+    codes_blocks, weights_blocks = _pad_blocks(codes, blk)
+    centers_j = jnp.asarray(np.asarray(centers).astype(np.int32))
+    assigns = _predict(cw, codes_blocks, weights_blocks, centers_j)
+    return np.asarray(assigns).reshape(-1)[:n].astype(np.int32)

@@ -1,0 +1,67 @@
+"""PQ decode as one-hot matmuls — the MXU-friendly gather replacement.
+
+On TPU a per-element dynamic gather (``dtable[m][code]``) does not vectorize; a
+one-hot matmul trades O(Ks) extra FLOPs per code byte for full MXU throughput,
+and the cost is paid once per scanned block, amortized over the whole query batch.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def onehot_decode(codes, codewords, dtype=jnp.float32, precision=lax.Precision.HIGHEST):
+    """Decode PQ codes via one-hot matmul.
+
+    Args:
+        codes: (B, M) integer code ids.
+        codewords: (M, Ks, Ds) float codebooks.
+        dtype: compute dtype for the one-hot contraction (bf16 on the fast path).
+
+    Returns:
+        (B, M * Ds) reconstructed vectors in `dtype`.
+    """
+    b = codes.shape[0]
+    ks = codewords.shape[1]
+    oh = jax.nn.one_hot(codes, ks, dtype=dtype)  # (B, M, Ks)
+    dec = jnp.einsum("bmk,mkd->bmd", oh, codewords.astype(dtype), precision=precision)
+    return dec.reshape(b, -1)
+
+
+def build_decoded_cache(codes, codewords, block=4096, dtype=jnp.bfloat16):
+    """Decode the whole (cap, M) code array to a (cap, D) bf16 replica.
+
+    One-time build cost for the speed-of-light scan path: queries then score
+    against the replica with a single HBM-bound GEMM per block instead of
+    re-decoding per scan. cap must be a multiple of block.
+    """
+    import jax.numpy as _jnp
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("block",))
+    def _build(codes_, codewords_, block):
+        cap = codes_.shape[0]
+        nb = cap // block
+        blocks = codes_.reshape(nb, block, -1)
+
+        def f(cb):
+            return onehot_decode(cb, codewords_, dtype=_jnp.float32).astype(dtype)
+
+        return lax.map(f, blocks).reshape(cap, -1)
+
+    cap = codes.shape[0]
+    blk = min(block, cap)
+    assert cap % blk == 0
+    return _build(codes, codewords, blk)
+
+
+def decode_norms(codes, codewords, precision=lax.Precision.HIGHEST):
+    """||decode(code)||^2 for each code row: (B, M) -> (B,) f32.
+
+    Uses the per-subspace codeword norm table (M, Ks) and a one-hot contraction,
+    so it is exact in f32.
+    """
+    ks = codewords.shape[1]
+    cnorms = jnp.sum(codewords * codewords, axis=-1)  # (M, Ks)
+    oh = jax.nn.one_hot(codes, ks, dtype=jnp.float32)  # (B, M, Ks)
+    return jnp.einsum("bmk,mk->b", oh, cnorms, precision=precision)

@@ -1,0 +1,110 @@
+"""IVF probing scan (the TPU re-design of QueryIvf, /root/reference/src/rii.h:244-326).
+
+Differences from the reference, by design (SURVEY.md section 7, "hard parts"):
+
+- Posting lists are stored as a *cluster-grouped* flat code array: codes are
+  permuted so each cluster's members are contiguous (``bucket_start``/``order``),
+  every bucket padded to a common static capacity window. Probing a cluster is a
+  contiguous slice — DMA-friendly — instead of a ragged id walk.
+- The reference's data-dependent early termination (stop at exactly L collected
+  candidates, /root/reference/src/rii.h:302-309) does not map to SPMD. We score
+  *all* members of the top-w probed clusters, with the same probe width
+  ``w = round(L * nlist / N_or_S) + 3`` (src/rii.h:267-277). This evaluates >= the
+  reference's candidate set, so recall is >= reference at equal L.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from rii_tpu.ops.decode import onehot_decode
+
+_PREC = lax.Precision.HIGHEST
+
+
+def _searchsorted_member(sorted_ids, n_valid, values):
+    """True where `values` appears in sorted_ids[:n_valid]."""
+    pos = jnp.searchsorted(sorted_ids, values)
+    pos = jnp.clip(pos, 0, sorted_ids.shape[0] - 1)
+    return (jnp.take(sorted_ids, pos) == values) & (pos < n_valid)
+
+
+@partial(jax.jit, static_argnames=("w", "topk", "cap_max", "chunk", "precision"))
+def ivf_scan_topk(queries, codewords, centers_dec, centers_norms, bucket_start,
+                  codes_grouped, norms_grouped, order, slot_cluster, w, topk,
+                  cap_max, target_ids=None, n_targets=None, chunk=4096,
+                  precision=_PREC):
+    """Probe the w nearest coarse centers per query and ADC-score their members.
+
+    Args:
+        queries: (Q, D) f32.
+        centers_dec: (nlist_pad, D) decoded coarse centers (f32).
+        centers_norms: (nlist_pad,) ||center||^2, +inf on padded clusters.
+        bucket_start: (nlist_pad,) slot offset of each cluster's segment.
+        codes_grouped/norms_grouped/order: cluster-grouped storage; padded slots
+            have norms=+inf and order=-1. The array has >= cap_max slots of tail
+            padding so every (start, cap_max) window is in bounds.
+        w: static probe width.
+        topk: static k.
+        cap_max: static per-cluster window (>= longest bucket, incl. padding).
+        target_ids: optional (S_pad,) int32 SORTED ascending (pad with anything
+            >= the max valid id); n_targets: scalar count of valid entries.
+
+    Returns:
+        (dists (Q, topk) f32 ascending, ids (Q, topk) int32, -1 where exhausted).
+    """
+    q_all = queries.astype(jnp.float32)
+    n_cand = w * cap_max
+    chunk = min(chunk, n_cand)
+    # Round candidate count up to a multiple of chunk via extra tail windows.
+    n_chunks = -(-n_cand // chunk)
+
+    def one_query(q):
+        qsq = jnp.sum(q * q)
+        # (1) coarse ADC scoring == L2 to decoded centers (exact identity).
+        cscores = centers_norms - 2.0 * jnp.dot(centers_dec, q, precision=precision)
+        _, probe = lax.top_k(-cscores, w)  # (w,)
+        starts = jnp.take(bucket_start, probe)  # (w,)
+        slots = (starts[:, None] + jnp.arange(cap_max, dtype=jnp.int32)[None, :]).reshape(-1)
+        slots = jnp.pad(slots, (0, n_chunks * chunk - n_cand), constant_values=0)
+        # each window slot must belong to the cluster it was probed for —
+        # windows that overrun a short bucket are masked out here.
+        expect = jnp.broadcast_to(probe[:, None], (w, cap_max)).reshape(-1)
+        expect = jnp.pad(expect, (0, n_chunks * chunk - n_cand), constant_values=-2)
+
+        def chunk_fn(args):
+            slots_c, expect_c = args
+            valid_c = jnp.take(slot_cluster, slots_c) == expect_c
+            codes_c = jnp.take(codes_grouped, slots_c, axis=0)  # (chunk, M)
+            norms_c = jnp.where(valid_c, jnp.take(norms_grouped, slots_c), jnp.inf)
+            ids_c = jnp.take(order, slots_c)
+            if target_ids is not None:
+                member = _searchsorted_member(target_ids, n_targets, ids_c)
+                norms_c = jnp.where(member, norms_c, jnp.inf)
+            # scores = ||x_hat||^2 - 2 <q, x_hat>
+            dec = onehot_decode(codes_c, codewords, dtype=jnp.float32,
+                                precision=precision)
+            s = norms_c - 2.0 * jnp.dot(dec, q, precision=precision)
+            k_eff = min(topk, chunk)
+            neg, pos = lax.top_k(-s, k_eff)
+            return neg, jnp.take(ids_c, pos)
+
+        slots_chunks = slots.reshape(n_chunks, chunk)
+        expect_chunks = expect.reshape(n_chunks, chunk)
+        negs, idsk = lax.map(chunk_fn, (slots_chunks, expect_chunks))
+        k_eff = min(topk, chunk)
+        negs = negs.reshape(n_chunks * k_eff)
+        idsk = idsk.reshape(n_chunks * k_eff)
+        neg_top, pos = lax.top_k(negs, min(topk, n_chunks * k_eff))
+        ids = jnp.take(idsk, pos)
+        dists = -neg_top + qsq
+        kk = dists.shape[0]
+        if kk < topk:
+            dists = jnp.concatenate([dists, jnp.full((topk - kk,), jnp.inf)])
+            ids = jnp.concatenate([ids, jnp.full((topk - kk,), -1, ids.dtype)])
+        ids = jnp.where(jnp.isfinite(dists), ids, -1)
+        return dists, ids
+
+    return lax.map(one_query, q_all)

@@ -1,0 +1,21 @@
+"""Multi-chip / multi-host scaling: device meshes, sharded scans, collective merges.
+
+The reference's only parallelism is OpenMP threads over database points
+(SURVEY.md section 2.5). Here that axis becomes a first-class ``jax.sharding.Mesh``
+("data" = database shard): each chip ADC-scans its code shard, computes a local
+top-k, and the shards are merged with an all-gather + final top-k — collectives
+ride ICI, overlapping with the next block's scan under XLA's scheduler.
+"""
+
+from rii_tpu.parallel.mesh import make_mesh, shard_database
+from rii_tpu.parallel.sharded import (
+    make_sharded_linear_scan,
+    make_sharded_pqkmeans_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_database",
+    "make_sharded_linear_scan",
+    "make_sharded_pqkmeans_step",
+]

@@ -1,0 +1,617 @@
+"""The user-facing Rii engine: full API parity with the reference's ``rii.Rii``
+(/root/reference/rii/rii.py) plus TPU-native batched query APIs.
+
+Responsibility split mirrors the reference (SURVEY.md section 1): this layer owns
+*policy* — codec management, OPQ query rotation, default nlist/L, auto
+linear-vs-ivf selection, argument validation, posting-list bookkeeping — while
+*mechanism* lives in jitted ops (rii_tpu.ops) operating on a device cache of
+padded arrays.
+
+Canonical state is host-side numpy (uint8 codes, int32 assignments, uint8 coarse
+centers); device arrays are a derived cache, rebuilt lazily when the index
+mutates. Capacities grow in powers of two so the jit cache stays bounded.
+"""
+
+import copy
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from rii_tpu.models.pq import PQ
+from rii_tpu.models.opq import OPQ
+from rii_tpu.models.pqkmeans import pqkmeans_fit, pqkmeans_predict
+from rii_tpu.models.ivf import (
+    build_grouped_layout,
+    code_norms_np,
+    posting_lists_from_assignments,
+)
+from rii_tpu.ops.decode import build_decoded_cache
+from rii_tpu.ops.scan import (
+    linear_scan_topk,
+    linear_scan_topk_decoded,
+    subset_scan_topk,
+    subset_scan_topk_decoded,
+)
+from rii_tpu.ops.ivf import ivf_scan_topk
+
+_RECONFIGURE_SAMPLE_SEED = 123  # mirrors std::default_random_engine(123), src/rii.h:122
+_PQKMEANS_SEED = 0  # mirrors mt19937(0), src/pqkmeans.cpp:186
+
+
+def _pow2_at_least(n, lo=1):
+    v = max(1, lo)
+    while v < n:
+        v *= 2
+    return v
+
+
+def _pad_queries(queries):
+    """Pad the query batch to a power-of-two bucket (repeat row 0)."""
+    qn = queries.shape[0]
+    bucket = _pow2_at_least(qn, 1)
+    if bucket == qn:
+        return queries, qn
+    pad = np.broadcast_to(queries[:1], (bucket - qn, queries.shape[1]))
+    return np.concatenate([queries, pad], axis=0), qn
+
+
+class Rii:
+    """Reconfigurable inverted index over PQ codes, TPU-native.
+
+    Args:
+        fine_quantizer: a trained :class:`rii_tpu.PQ` or :class:`rii_tpu.OPQ`.
+
+    Attributes:
+        fine_quantizer: deep copy of the codec (as in /root/reference/rii/rii.py:36).
+        threshold: np.poly1d mapping L -> |S| threshold for linear-vs-ivf choice.
+    """
+
+    def __init__(self, fine_quantizer):
+        assert isinstance(fine_quantizer, (PQ, OPQ))
+        assert fine_quantizer.codewords is not None, "Please fit the PQ/OPQ instance first"
+        assert fine_quantizer.Ks <= 256, "Ks must be <= 256 so that each code is uint8"
+        self.fine_quantizer = copy.deepcopy(fine_quantizer)
+        self.threshold = None
+        # Linear-scan storage mode: "pq" scans uint8 codes (decode fused into the
+        # kernel; N*M bytes), "bf16" additionally keeps a decoded bf16 replica
+        # (pure-GEMM scan at HBM/MXU roofline; +N*D*2 bytes), "auto" picks bf16
+        # on TPU when the replica fits decoded_cache_budget. Distances are exact
+        # ADC either way (cross term bf16 in the replica mode).
+        self.scan_mode = "auto"
+        self.decoded_cache_budget = 2 << 30
+        self._verbose = bool(fine_quantizer.verbose)
+        self._code_chunks = []  # list of (n_i, M) uint8
+        self._assign_chunks = []  # list of (n_i,) int32; -1 = not in any posting list
+        self._n = 0
+        self._centers = None  # (nlist, M) uint8
+        self._version = 0
+        self._codes_cache = None  # consolidated (N, M) uint8
+        self._dc = None  # device cache dict
+
+    # ------------------------------------------------------------------ #
+    # properties (parity with /root/reference/rii/rii.py:40-121)
+    # ------------------------------------------------------------------ #
+
+    @property
+    def M(self):
+        """int: number of PQ sub-spaces."""
+        return self.fine_quantizer.M
+
+    @property
+    def Ks(self):
+        """int: codewords per sub-space."""
+        return self.fine_quantizer.Ks
+
+    @property
+    def N(self):
+        """int: number of stored PQ codes."""
+        return self._n
+
+    @property
+    def nlist(self):
+        """int: number of posting lists (0 before the first reconfigure)."""
+        return 0 if self._centers is None else int(self._centers.shape[0])
+
+    @property
+    def codewords(self):
+        """np.ndarray: (M, Ks, Ds) float32 codewords."""
+        return self.fine_quantizer.codewords
+
+    @property
+    def coarse_centers(self):
+        """np.ndarray: (nlist, M) uint8 coarse centers (PQ codes), or None."""
+        if self.nlist == 0:
+            return None
+        return np.array(self._centers, dtype=self.fine_quantizer.code_dtype)
+
+    @property
+    def codes(self):
+        """np.ndarray: (N, M) uint8 stored PQ codes, or None if empty."""
+        if self._n == 0:
+            return None
+        return np.array(self._consolidated_codes(), copy=True)
+
+    @property
+    def posting_lists(self):
+        """list[list[int]]: ids per coarse center, ascending within each list."""
+        if self.nlist == 0:
+            return []
+        return posting_lists_from_assignments(self._assignments(), self.nlist)
+
+    @property
+    def verbose(self):
+        """bool: verbose flag (rewritable)."""
+        return self._verbose
+
+    @verbose.setter
+    def verbose(self, v):
+        self._verbose = bool(v)
+        self.fine_quantizer.verbose = bool(v)
+
+    @property
+    def L0(self):
+        """int: average posting-list length round(N / nlist), or None."""
+        if self.nlist == 0:
+            return None
+        return int(np.round(self._n / self.nlist))
+
+    # ------------------------------------------------------------------ #
+    # mutation
+    # ------------------------------------------------------------------ #
+
+    def reconfigure(self, nlist=None, iter=5, calibrate=False):
+        """Re-cluster stored codes into nlist coarse centers and rebuild postings.
+
+        Mirrors /root/reference/rii/rii.py:123-150 + src/rii.h:108-156:
+        samples min(N, nlist*100) codes (fixed seed), runs PQk-means, then
+        assigns all N codes. ``threshold`` is refreshed: analytically by default
+        (cost model), or by the reference-style timed sweep when calibrate=True.
+        """
+        if nlist is None:
+            nlist = int(np.sqrt(self._n))
+        assert 0 < nlist, "nlist must be positive"
+        assert nlist <= self._n, "nlist must be <= N"
+        iter = max(1, int(iter))
+
+        codes = self._consolidated_codes()
+        n_train = min(self._n, nlist * 100)
+        pick = np.random.RandomState(_RECONFIGURE_SAMPLE_SEED).permutation(self._n)[:n_train]
+        if self._verbose:
+            print(f"Training coarse centers on {n_train} codes (nlist={nlist})")
+        centers, _ = pqkmeans_fit(
+            self.codewords, codes[pick], k=nlist, iters=iter,
+            seed=_PQKMEANS_SEED, verbose=self._verbose,
+        )
+        self._centers = centers
+        assign = pqkmeans_predict(self.codewords, centers, codes)
+        self._assign_chunks = [assign.astype(np.int32)]
+        self._bump()
+
+        if calibrate:
+            probes = self.fine_quantizer.decode(codes[: min(100, self._n)])
+            self.threshold = estimate_best_threshold_function(self, probes)
+        else:
+            self.threshold = self._analytic_threshold()
+        return self
+
+    def add(self, vecs, update_posting_lists="auto"):
+        """Encode and append new vectors (see /root/reference/rii/rii.py:152-186)."""
+        vecs = np.asarray(vecs)
+        assert vecs.ndim == 2
+        assert vecs.dtype == np.float32
+        codes = self.fine_quantizer.encode(vecs)
+        self._add_codes(codes, self._resolve_update_posting_lists_flag(update_posting_lists))
+
+    def add_configure(self, vecs, nlist=None, iter=5):
+        """add(update_posting_lists=False) then reconfigure. Returns self."""
+        self.add(vecs=vecs, update_posting_lists=False)
+        self.reconfigure(nlist=nlist, iter=iter)
+        return self
+
+    def merge(self, engine, update_posting_lists="auto"):
+        """Append another engine's codes; ids continue after self.N.
+
+        Keeps self's existing posting lists (parity: /root/reference/rii/rii.py:208-233).
+        """
+        assert isinstance(engine, Rii)
+        assert self.fine_quantizer == engine.fine_quantizer, \
+            "Two engines to be merged must have the same fine quantizer"
+        if engine.N != 0:
+            self._add_codes(engine._consolidated_codes().copy(),
+                            self._resolve_update_posting_lists_flag(update_posting_lists))
+        if self._verbose:
+            print(f"The number of codes: {self._n}")
+
+    def clear(self):
+        """Drop codes, centers, postings, threshold. Codewords are kept."""
+        self.threshold = None
+        self._code_chunks = []
+        self._assign_chunks = []
+        self._n = 0
+        self._centers = None
+        self._codes_cache = None
+        self._bump()
+
+    def _add_codes(self, codes, update_flag):
+        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        assert codes.ndim == 2 and codes.shape[1] == self.M
+        if update_flag and self._centers is None:
+            raise RuntimeError(
+                "reconfigure() must be called before add(vecs=X, update_posting_lists=True). "
+                "If this is the first addition, please call add_configure(vecs=X)")
+        self._code_chunks.append(codes)
+        self._codes_cache = None
+        if update_flag:
+            assign = pqkmeans_predict(self.codewords, self._centers, codes)
+        else:
+            assign = np.full(codes.shape[0], -1, dtype=np.int32)
+        self._assign_chunks.append(assign)
+        self._n += codes.shape[0]
+        self._bump()
+        if self._verbose:
+            print(f"{codes.shape[0]} new vectors are added. Total: {self._n}")
+
+    # ------------------------------------------------------------------ #
+    # query
+    # ------------------------------------------------------------------ #
+
+    def query(self, q, topk=1, L=None, target_ids=None, sort_target_ids=True,
+              method="auto"):
+        """Single-query ANN search; contract parity with /root/reference/rii/rii.py:235-320.
+
+        Returns (ids (topk,) int64, dists (topk,) float64), dists ascending.
+        """
+        q = np.asarray(q)
+        assert q.ndim == 1
+        ids, dists = self.query_batch(
+            q[None, :], topk=topk, L=L, target_ids=target_ids,
+            sort_target_ids=sort_target_ids, method=method)
+        return ids[0], dists[0]
+
+    def query_batch(self, queries, topk=1, L=None, target_ids=None,
+                    sort_target_ids=True, method="auto"):
+        """Batched ANN search — the TPU-native entry point.
+
+        Same policy as :meth:`query` applied to (Q, D) queries sharing one
+        target-id set. Returns (ids (Q, topk) int64, dists (Q, topk) float64).
+        """
+        assert 0 < self._n, "No codes to be searched"
+        assert 0 < self.nlist, "Posting lists are not available; call reconfigure first"
+        assert method in ("auto", "linear", "ivf")
+        queries = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
+
+        if topk is None:
+            topk = self._n
+        assert 1 <= topk <= self._n
+
+        if L is None:
+            L = self._multiple_of_L0_covering_topk(topk=topk)
+        assert topk <= L <= self._n, \
+            f"Make sure topk<=L<=N: topk={topk}, L={L}, N={self._n}"
+
+        if target_ids is None:
+            tids = None
+            len_target_ids = self._n
+        else:
+            assert isinstance(target_ids, np.ndarray)
+            assert target_ids.dtype == np.int64
+            assert target_ids.ndim == 1
+            tids = np.sort(target_ids) if sort_target_ids else target_ids
+            len_target_ids = len(tids)
+        assert topk <= len_target_ids <= self._n, \
+            f"Make sure topk<=len(target_ids)<=N: topk={topk}, " \
+            f"len(target_ids)={len_target_ids}, N={self._n}"
+
+        if isinstance(self.fine_quantizer, OPQ):
+            q_ = self.fine_quantizer.rotate(queries)
+        else:
+            q_ = queries
+
+        if method == "auto":
+            method = "linear" if self._use_linear(len_target_ids, L) else "ivf"
+        if method == "linear":
+            ids, dists = self._query_linear_batch(q_, topk, tids)
+        else:
+            ids, dists = self._query_ivf_batch(q_, topk, tids, L)
+        return ids.astype(np.int64), dists.astype(np.float64)
+
+    # low-level entry points (the analog of impl_cpp.query_linear / query_ivf;
+    # they take queries already rotated into codec space).
+
+    def query_linear(self, q, topk, target_ids=None):
+        """Exact ADC linear scan. q: (D,) rotated query. Returns (ids, dists)."""
+        ids, dists = self._query_linear_batch(
+            np.ascontiguousarray(np.atleast_2d(q), np.float32), topk,
+            None if target_ids is None or len(target_ids) == 0 else np.asarray(target_ids))
+        return ids[0].astype(np.int64), dists[0].astype(np.float64)
+
+    def query_ivf(self, q, topk, target_ids, L):
+        """IVF probing scan. q: (D,) rotated query. Returns (ids, dists)."""
+        ids, dists = self._query_ivf_batch(
+            np.ascontiguousarray(np.atleast_2d(q), np.float32), topk,
+            None if target_ids is None or len(target_ids) == 0 else np.asarray(target_ids), L)
+        return ids[0].astype(np.int64), dists[0].astype(np.float64)
+
+    def _query_linear_batch(self, queries, topk, tids):
+        dc = self._ensure_cache()
+        qp, qn = _pad_queries(queries)
+        qd = jnp.asarray(qp)
+        decoded = dc.get("decoded_flat")
+        if tids is None:
+            if decoded is not None:
+                d, i = linear_scan_topk_decoded(qd, decoded, dc["norms_flat"],
+                                                topk=topk, block=dc["block"])
+            else:
+                d, i = linear_scan_topk(qd, dc["codes_flat"], dc["norms_flat"],
+                                        dc["codewords"], topk=topk, block=dc["block"])
+        elif len(tids) > max(4096, self._n // 2):
+            mask = np.zeros(dc["cap"], dtype=bool)
+            mask[np.clip(tids, 0, dc["cap"] - 1)] = True
+            if decoded is not None:
+                d, i = linear_scan_topk_decoded(qd, decoded, dc["norms_flat"],
+                                                topk=topk, mask=jnp.asarray(mask),
+                                                block=dc["block"])
+            else:
+                d, i = linear_scan_topk(qd, dc["codes_flat"], dc["norms_flat"],
+                                        dc["codewords"], topk=topk,
+                                        mask=jnp.asarray(mask), block=dc["block"])
+        else:
+            s = len(tids)
+            s_pad = _pow2_at_least(s, 16)
+            tids_pad = np.zeros(s_pad, dtype=np.int32)
+            tids_pad[:s] = tids
+            if decoded is not None:
+                d, i = subset_scan_topk_decoded(qd, decoded, dc["norms_flat"],
+                                                jnp.asarray(tids_pad),
+                                                jnp.int32(s), topk=topk)
+            else:
+                d, i = subset_scan_topk(qd, dc["codes_flat"], dc["norms_flat"],
+                                        dc["codewords"], jnp.asarray(tids_pad),
+                                        jnp.int32(s), topk=topk)
+        return np.asarray(i)[:qn], np.asarray(d)[:qn]
+
+    def _probe_width(self, L, s):
+        """w = round(L * nlist / N_or_S) + 3, clamped (src/rii.h:267-277), then
+        rounded up to a power of two to bound the jit cache (recall only grows)."""
+        nlist = self.nlist
+        denom = self._n if s is None else s
+        w = int(np.round(float(L) * nlist / denom)) + 3
+        return min(nlist, _pow2_at_least(max(1, w)))
+
+    def _query_ivf_batch(self, queries, topk, tids, L, force_full=False):
+        dc = self._ensure_cache()
+        qp, qn = _pad_queries(queries)
+        qd = jnp.asarray(qp)
+        s = None if tids is None else len(tids)
+        w = self.nlist if force_full else self._probe_width(L, s)
+        w = min(w, dc["nlist_pad"])
+        kwargs = {}
+        if tids is not None:
+            s_pad = _pow2_at_least(s, 16)
+            tids_pad = np.full(s_pad, np.iinfo(np.int32).max, dtype=np.int32)
+            tids_pad[:s] = tids  # sorted; pad with +inf-like sentinel keeps order
+            kwargs = dict(target_ids=jnp.asarray(tids_pad), n_targets=jnp.int32(s))
+        d, i = ivf_scan_topk(
+            qd, dc["codewords"], dc["centers_dec"], dc["centers_norms"],
+            dc["bucket_start"], dc["codes_grouped"], dc["norms_grouped"],
+            dc["order"], dc["slot_cluster"], w=w, topk=topk,
+            cap_max=dc["cap_max"], **kwargs)
+        d = np.asarray(d)[:qn]
+        i = np.asarray(i)[:qn]
+        # If probing w clusters found fewer than topk eligible candidates, widen
+        # to full coverage (the reference keeps walking lists until L candidates;
+        # full coverage is the SPMD-deterministic superset of that behavior).
+        if not force_full and w < self.nlist and not np.isfinite(d).all():
+            return self._query_ivf_batch(queries, topk, tids, L, force_full=True)
+        return i, d
+
+    # ------------------------------------------------------------------ #
+    # policy helpers (parity with /root/reference/rii/rii.py:374-400)
+    # ------------------------------------------------------------------ #
+
+    def _multiple_of_L0_covering_topk(self, topk):
+        avglen = self.L0
+        return min((topk // avglen + 1) * avglen, self._n)
+
+    def _use_linear(self, len_target_ids, L):
+        return len_target_ids <= self.threshold(L)
+
+    def _resolve_update_posting_lists_flag(self, flag):
+        assert flag in ("auto", True, False)
+        if flag == "auto":
+            return 0 < self.nlist
+        return flag
+
+    def _analytic_threshold(self):
+        """Cost-model threshold: ivf evaluates ~L candidates + nlist coarse
+        centers; linear evaluates |S|. Crossover at |S| ~= L + nlist."""
+        return np.poly1d([1.0, float(self.nlist)])
+
+    # ------------------------------------------------------------------ #
+    # internal state management
+    # ------------------------------------------------------------------ #
+
+    def _bump(self):
+        self._version += 1
+        self._dc = None
+
+    def _use_decoded_cache(self, cap):
+        mode = getattr(self, "scan_mode", "auto")
+        if mode == "pq":
+            return False
+        d = self.M * self.fine_quantizer.Ds
+        fits = cap * d * 2 <= getattr(self, "decoded_cache_budget", 2 << 30)
+        if mode == "bf16":
+            return fits
+        # auto: replica only pays off on accelerators (XLA:CPU handles the
+        # one-hot decode fine; on TPU it would materialize huge intermediates)
+        import jax
+        return fits and jax.default_backend() in ("tpu", "gpu", "axon")
+
+    def _consolidated_codes(self):
+        if self._codes_cache is None:
+            if not self._code_chunks:
+                self._codes_cache = np.zeros((0, self.M), dtype=np.uint8)
+            elif len(self._code_chunks) == 1:
+                self._codes_cache = self._code_chunks[0]
+            else:
+                self._codes_cache = np.concatenate(self._code_chunks, axis=0)
+                self._code_chunks = [self._codes_cache]
+        return self._codes_cache
+
+    def _assignments(self):
+        if not self._assign_chunks:
+            return np.zeros((0,), dtype=np.int32)
+        if len(self._assign_chunks) > 1:
+            self._assign_chunks = [np.concatenate(self._assign_chunks)]
+        return self._assign_chunks[0]
+
+    def _ensure_cache(self):
+        if self._dc is not None and self._dc["version"] == self._version:
+            return self._dc
+        codes = self._consolidated_codes()
+        cw = np.asarray(self.codewords, dtype=np.float32)
+        norms = code_norms_np(cw, codes)
+        cap = _pow2_at_least(max(self._n, 1), 1024)
+        block = min(8192, cap)
+        codes_flat = np.zeros((cap, self.M), dtype=np.uint8)
+        codes_flat[: self._n] = codes
+        norms_flat = np.full(cap, np.inf, dtype=np.float32)
+        norms_flat[: self._n] = norms
+        dc = {
+            "version": self._version,
+            "cap": cap,
+            "block": block,
+            "codewords": jnp.asarray(cw),
+            "codes_flat": jnp.asarray(codes_flat),
+            "norms_flat": jnp.asarray(norms_flat),
+        }
+        if self._use_decoded_cache(cap):
+            dc["decoded_flat"] = build_decoded_cache(dc["codes_flat"], dc["codewords"])
+        if self._centers is not None:
+            nlist = self.nlist
+            layout = build_grouped_layout(codes, norms, self._assignments(), nlist)
+            nlist_pad = _pow2_at_least(nlist, 8)
+            # decoded coarse centers, padded with +inf norms
+            dec = cw[np.arange(self.M)[None, :], self._centers.astype(np.int64)]
+            centers_dec = np.zeros((nlist_pad, self.M * cw.shape[2]), dtype=np.float32)
+            centers_dec[:nlist] = dec.reshape(nlist, -1)
+            centers_norms = np.full(nlist_pad, np.inf, dtype=np.float32)
+            centers_norms[:nlist] = (centers_dec[:nlist] ** 2).sum(axis=1)
+            bucket_start = np.zeros(nlist_pad, dtype=np.int32)
+            bucket_start[:nlist] = layout["bucket_start"]
+            dc.update({
+                "nlist_pad": nlist_pad,
+                "cap_max": layout["cap_max"],
+                "order": jnp.asarray(layout["order"]),
+                "slot_cluster": jnp.asarray(layout["slot_cluster"]),
+                "codes_grouped": jnp.asarray(layout["codes_grouped"]),
+                "norms_grouped": jnp.asarray(layout["norms_grouped"]),
+                "bucket_start": jnp.asarray(bucket_start),
+                "centers_dec": jnp.asarray(centers_dec),
+                "centers_norms": jnp.asarray(centers_norms),
+            })
+        self._dc = dc
+        return dc
+
+    # ------------------------------------------------------------------ #
+    # diagnostics & serialization
+    # ------------------------------------------------------------------ #
+
+    def print_params(self):
+        """Diagnostic dump (parity with /root/reference/rii/rii.py:330-372)."""
+        print("verbose:", self.verbose)
+        print("M:", self.M)
+        print("Ks:", self.Ks)
+        print("fine_quantizer:", self.fine_quantizer)
+        print("N:", self.N)
+        print("nlist:", self.nlist)
+        print("L0:", self.L0)
+        print("codewords.shape:", self.codewords.shape)
+        print("coarse_centers.shape:", None if self.nlist == 0 else self.coarse_centers.shape)
+        print("codes.shape:", None if self.codes is None else self.codes.shape)
+        lens = [len(pl) for pl in self.posting_lists[:11]]
+        print("[len(poslist) for poslist in posting_lists]:", lens,
+              "..." if self.nlist > 11 else "")
+        for topk in (1, 10, 100):
+            L = None if self.nlist == 0 else self._multiple_of_L0_covering_topk(topk)
+            print(f"_multiple_of_L0_covering_topk(topk={topk}): {L}")
+        print("threshold function thre_{|S|}=f(L):", self.threshold)
+        for S in [10 ** (2 + n) for n in range(5)]:
+            use_linear = None if self.threshold is None else self._use_linear(S, self.L0)
+            print(f"_use_linear({S}, L={self.L0}): {use_linear}")
+
+    def __getstate__(self):
+        self._consolidated_codes()
+        self._assignments()
+        state = self.__dict__.copy()
+        state["_dc"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._dc = None
+
+
+def estimate_best_threshold_function(e, queries):
+    """Timed calibration of the linear-vs-ivf threshold, reference algorithm
+    (/root/reference/rii/rii.py:403-486): for a few L values, sweep |S| doubling
+    from 128 to N timing both methods, binary-search the crossover, then fit a
+    1-D polynomial threshold(L).
+
+    Run on demand (``reconfigure(calibrate=True)``) because each (|S|, method)
+    pair compiles a kernel variant; the analytic model is the cheap default.
+    """
+    topk = 1
+
+    def run(queries_, tids, L, method):
+        t0 = time.perf_counter()
+        for q in queries_:
+            if method == "linear":
+                e.query_linear(q, topk, tids)
+            else:
+                e.query_ivf(q, topk, tids, L)
+        return (time.perf_counter() - t0) / queries_.shape[0]
+
+    def sweep(L):
+        if e.N <= 128:
+            return e.N
+        sids = [128]
+        while sids[-1] * 2 < e.N:
+            sids.append(sids[-1] * 2)
+        sids.append(e.N)
+        for s in sids:
+            tids = np.arange(s, dtype=np.int64)
+            # warm up compilations so the timing reflects steady-state
+            run(queries[:1], tids, L, "linear")
+            run(queries[:1], tids, L, "ivf")
+            t_linear = run(queries[:3], tids, L, "linear")
+            t_ivf = run(queries[:3], tids, L, "ivf")
+            if t_ivf < t_linear:
+                if s == 128:
+                    return 128
+                s0, s1 = s // 2, s
+                for _ in range(5):
+                    s_mid = int(np.round((s0 + s1) / 2))
+                    tids = np.arange(s_mid, dtype=np.int64)
+                    if run(queries, tids, L, "ivf") < run(queries, tids, L, "linear"):
+                        s1 = s_mid
+                    else:
+                        s0 = s_mid
+                return s0
+        return e.N
+
+    xs, ys = [], []
+    for L in [k * e._multiple_of_L0_covering_topk(k) for k in (1, 2, 4, 8, 16)]:
+        if e.N < L:
+            continue
+        xs.append(L)
+        ys.append(sweep(L))
+        if ys[-1] == e.N:
+            break
+    z = [0, ys[0]] if len(xs) == 1 else np.polyfit(xs, ys, 1)
+    p = np.poly1d(z)
+    if e.verbose:
+        print("L:", xs, "threshold:", ys, "poly:", p)
+    return p

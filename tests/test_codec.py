@@ -1,0 +1,115 @@
+"""PQ/OPQ codec tests: shapes, dtypes, determinism, numpy-oracle parity."""
+
+import numpy as np
+import pytest
+
+from rii_tpu import PQ, OPQ
+
+
+def _data(n=500, d=40, seed=123):
+    rng = np.random.RandomState(seed)
+    return rng.random((n, d)).astype(np.float32)
+
+
+def _encode_oracle(codewords, vecs):
+    """Pure-numpy argmin encoder (the behavioral oracle for PQ.encode)."""
+    m, ks, ds = codewords.shape
+    n = vecs.shape[0]
+    sub = vecs.reshape(n, m, ds)
+    out = np.empty((n, m), dtype=np.uint8)
+    for mm in range(m):
+        d2 = ((sub[:, mm, None, :] - codewords[mm][None, :, :]) ** 2).sum(-1)
+        out[:, mm] = np.argmin(d2, axis=1)
+    return out
+
+
+def test_pq_fit_shapes_dtypes():
+    x = _data()
+    pq = PQ(M=4, Ks=20).fit(x)
+    assert pq.codewords.shape == (4, 20, 10)
+    assert pq.codewords.dtype == np.float32
+    assert pq.code_dtype == np.uint8
+    codes = pq.encode(x)
+    assert codes.shape == (500, 4) and codes.dtype == np.uint8
+    rec = pq.decode(codes)
+    assert rec.shape == x.shape and rec.dtype == np.float32
+
+
+def test_pq_encode_matches_numpy_oracle():
+    x = _data()
+    pq = PQ(M=4, Ks=20).fit(x)
+    codes = pq.encode(x)
+    oracle = _encode_oracle(pq.codewords, x)
+    # identical up to fp ties; require distance-equivalence
+    m, ks, ds = pq.codewords.shape
+    sub = x.reshape(-1, m, ds)
+    for mm in range(m):
+        d_ours = ((sub[:, mm] - pq.codewords[mm][codes[:, mm]]) ** 2).sum(-1)
+        d_oracle = ((sub[:, mm] - pq.codewords[mm][oracle[:, mm]]) ** 2).sum(-1)
+        np.testing.assert_allclose(d_ours, d_oracle, rtol=1e-4, atol=1e-5)
+
+
+def test_pq_decode_is_codeword_lookup():
+    x = _data()
+    pq = PQ(M=4, Ks=20).fit(x)
+    codes = pq.encode(x[:50])
+    rec = pq.decode(codes)
+    m, ks, ds = pq.codewords.shape
+    expect = pq.codewords[np.arange(m)[None, :], codes.astype(int)].reshape(50, -1)
+    np.testing.assert_allclose(rec, expect, rtol=1e-6)
+
+
+def test_pq_deterministic():
+    x = _data()
+    a = PQ(M=4, Ks=20, seed=7).fit(x)
+    b = PQ(M=4, Ks=20, seed=7).fit(x)
+    np.testing.assert_array_equal(a.codewords, b.codewords)
+    assert a == b
+
+
+def test_pq_reconstruction_improves_with_ks():
+    x = _data(n=1000)
+    errs = []
+    for ks in (4, 16, 64):
+        pq = PQ(M=4, Ks=ks).fit(x)
+        rec = pq.decode(pq.encode(x))
+        errs.append(((x - rec) ** 2).sum(-1).mean())
+    assert errs[0] > errs[1] > errs[2]
+
+
+def test_pq_requires_fit():
+    pq = PQ(M=4, Ks=20)
+    with pytest.raises(AssertionError):
+        pq.encode(_data())
+
+
+def test_opq_rotation_orthonormal():
+    x = _data()
+    opq = OPQ(M=4, Ks=20).fit(x, rotation_iter=3)
+    r = opq.rotation_matrix
+    np.testing.assert_allclose(r @ r.T, np.eye(r.shape[0]), atol=1e-4)
+
+
+def test_opq_rotate_and_encode():
+    x = _data()
+    opq = OPQ(M=4, Ks=20).fit(x, rotation_iter=3)
+    q = x[0]
+    rq = opq.rotate(q)
+    assert rq.shape == q.shape
+    np.testing.assert_allclose(np.linalg.norm(rq), np.linalg.norm(q), rtol=1e-4)
+    codes = opq.encode(x[:10])
+    assert codes.shape == (10, 4) and codes.dtype == np.uint8
+    # decode returns rotated-space vectors close to rotate(x)
+    rec = opq.decode(codes)
+    rx = opq.rotate(x[:10])
+    assert ((rec - rx) ** 2).sum(-1).mean() < ((rx - rx.mean(0)) ** 2).sum(-1).mean()
+
+
+def test_codec_equality():
+    x = _data()
+    a = PQ(M=4, Ks=20).fit(x)
+    b = PQ(M=4, Ks=20).fit(x)
+    c = PQ(M=4, Ks=20).fit(_data(seed=9))
+    assert a == b
+    assert a != c
+    assert a != OPQ(M=4, Ks=20)
