@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from rii_tpu.ops.decode import onehot_decode
+from rii_tpu.ops.scan import _select_topk
 
 _PREC = lax.Precision.HIGHEST
 
@@ -31,11 +32,12 @@ def _searchsorted_member(sorted_ids, n_valid, values):
     return (jnp.take(sorted_ids, pos) == values) & (pos < n_valid)
 
 
-@partial(jax.jit, static_argnames=("w", "topk", "cap_max", "chunk", "precision"))
+@partial(jax.jit, static_argnames=("w", "topk", "cap_max", "chunk", "precision",
+                                   "recall_target"))
 def ivf_scan_topk(queries, codewords, centers_dec, centers_norms, bucket_start,
                   codes_grouped, norms_grouped, order, slot_cluster, w, topk,
                   cap_max, target_ids=None, n_targets=None, chunk=4096,
-                  precision=_PREC):
+                  precision=_PREC, recall_target=None):
     """Probe the w nearest coarse centers per query and ADC-score their members.
 
     Args:
@@ -88,8 +90,8 @@ def ivf_scan_topk(queries, codewords, centers_dec, centers_norms, bucket_start,
                                 precision=precision)
             s = norms_c - 2.0 * jnp.dot(dec, q, precision=precision)
             k_eff = min(topk, chunk)
-            neg, pos = lax.top_k(-s, k_eff)
-            return neg, jnp.take(ids_c, pos)
+            neg, pos = _select_topk(-s[None, :], k_eff, recall_target)
+            return neg[0], jnp.take(ids_c, pos[0])
 
         slots_chunks = slots.reshape(n_chunks, chunk)
         expect_chunks = expect.reshape(n_chunks, chunk)

@@ -21,6 +21,20 @@ from rii_tpu.ops.decode import onehot_decode
 _PREC = lax.Precision.HIGHEST
 
 
+def _select_topk(neg_scores, k, recall_target):
+    """Per-block top-k selector.
+
+    On TPU, exact lax.top_k over wide rows costs ~30x the scoring GEMM; XLA's
+    approx_max_k (the hardware PartialReduce path) is ~20x faster at a
+    configurable per-block recall target. The cross-block merge stays exact, so
+    recall_target=None gives bit-exact results everywhere; on CPU approx_max_k
+    lowers to an exact sort anyway.
+    """
+    if recall_target is None:
+        return lax.top_k(neg_scores, k)
+    return lax.approx_max_k(neg_scores, k, recall_target=recall_target)
+
+
 def _block_scores(q, codes_b, norms_b, codewords, precision):
     """Scores (Q, B) for one code block, WITHOUT the per-query ||q||^2 constant.
 
@@ -43,9 +57,9 @@ def _block_scores_decoded(q, dec_b, norms_b, precision):
     return norms_b[None, :] - 2.0 * cross
 
 
-@partial(jax.jit, static_argnames=("topk", "block", "precision"))
+@partial(jax.jit, static_argnames=("topk", "block", "precision", "recall_target"))
 def linear_scan_topk(queries, codes, code_norms, codewords, topk, mask=None,
-                     block=8192, precision=_PREC):
+                     block=8192, precision=_PREC, recall_target=None):
     """Exact ADC scan of all stored codes, blocked with per-block top-k.
 
     Args:
@@ -73,7 +87,7 @@ def linear_scan_topk(queries, codes, code_norms, codewords, topk, mask=None,
     def block_fn(args):
         codes_b, norms_b, base = args
         s = _block_scores(q, codes_b, norms_b, codewords, precision)
-        neg, idx = lax.top_k(-s, k_eff)  # (Q, k_eff)
+        neg, idx = _select_topk(-s, k_eff, recall_target)  # (Q, k_eff)
         return neg, idx + base
 
     bases = jnp.arange(nb, dtype=jnp.int32) * block
@@ -88,9 +102,9 @@ def linear_scan_topk(queries, codes, code_norms, codewords, topk, mask=None,
     return dists, ids
 
 
-@partial(jax.jit, static_argnames=("topk", "block", "precision"))
+@partial(jax.jit, static_argnames=("topk", "block", "precision", "recall_target"))
 def linear_scan_topk_decoded(queries, decoded, code_norms, topk, mask=None,
-                             block=8192, precision=_PREC):
+                             block=8192, precision=_PREC, recall_target=None):
     """Exact ADC scan over the decoded bf16 replica (speed-of-light path).
 
     Same contract as :func:`linear_scan_topk`; `decoded` is (cap, D) bf16 with
@@ -110,7 +124,7 @@ def linear_scan_topk_decoded(queries, decoded, code_norms, topk, mask=None,
     def block_fn(args):
         dec_b, norms_b, base = args
         s = _block_scores_decoded(q, dec_b, norms_b, precision)
-        neg, idx = lax.top_k(-s, k_eff)
+        neg, idx = _select_topk(-s, k_eff, recall_target)
         return neg, idx + base
 
     bases = jnp.arange(nb, dtype=jnp.int32) * block

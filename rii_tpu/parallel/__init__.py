@@ -12,10 +12,13 @@ from rii_tpu.parallel.sharded import (
     make_sharded_linear_scan,
     make_sharded_pqkmeans_step,
 )
+from rii_tpu.parallel.distributed import ShardedRii, init_distributed
 
 __all__ = [
     "make_mesh",
     "shard_database",
     "make_sharded_linear_scan",
     "make_sharded_pqkmeans_step",
+    "ShardedRii",
+    "init_distributed",
 ]

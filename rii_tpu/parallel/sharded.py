@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from rii_tpu.ops.decode import onehot_decode
 from rii_tpu.ops.scan import linear_scan_topk
@@ -53,7 +53,7 @@ def make_sharded_linear_scan(mesh, topk, block=8192, axis_name=DATA_AXIS):
         mesh=mesh,
         in_specs=(P(), P(axis_name, None), P(axis_name), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -95,6 +95,5 @@ def make_sharded_pqkmeans_step(mesh, k, axis_name=DATA_AXIS):
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name), P(), P()),
         out_specs=(P(), P(axis_name)),
-        check_rep=False,
     )
     return jax.jit(fn)

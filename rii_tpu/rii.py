@@ -80,6 +80,11 @@ class Rii:
         # ADC either way (cross term bf16 in the replica mode).
         self.scan_mode = "auto"
         self.decoded_cache_budget = 2 << 30
+        # Per-block top-k recall target (hardware PartialReduce). The final
+        # cross-block merge is exact; None = bit-exact selection everywhere
+        # (exact lax.top_k costs ~30x the scoring GEMM on TPU). On CPU the
+        # approx path lowers to an exact sort, so tests are exact regardless.
+        self.topk_recall = 0.99
         self._verbose = bool(fine_quantizer.verbose)
         self._code_chunks = []  # list of (n_i, M) uint8
         self._assign_chunks = []  # list of (n_i,) int32; -1 = not in any posting list
@@ -338,24 +343,29 @@ class Rii:
         qp, qn = _pad_queries(queries)
         qd = jnp.asarray(qp)
         decoded = dc.get("decoded_flat")
+        rt = getattr(self, "topk_recall", None)
         if tids is None:
             if decoded is not None:
                 d, i = linear_scan_topk_decoded(qd, decoded, dc["norms_flat"],
-                                                topk=topk, block=dc["block"])
+                                                topk=topk, block=dc["block_dec"],
+                                                recall_target=rt)
             else:
                 d, i = linear_scan_topk(qd, dc["codes_flat"], dc["norms_flat"],
-                                        dc["codewords"], topk=topk, block=dc["block"])
+                                        dc["codewords"], topk=topk,
+                                        block=dc["block"], recall_target=rt)
         elif len(tids) > max(4096, self._n // 2):
             mask = np.zeros(dc["cap"], dtype=bool)
             mask[np.clip(tids, 0, dc["cap"] - 1)] = True
             if decoded is not None:
                 d, i = linear_scan_topk_decoded(qd, decoded, dc["norms_flat"],
                                                 topk=topk, mask=jnp.asarray(mask),
-                                                block=dc["block"])
+                                                block=dc["block_dec"],
+                                                recall_target=rt)
             else:
                 d, i = linear_scan_topk(qd, dc["codes_flat"], dc["norms_flat"],
                                         dc["codewords"], topk=topk,
-                                        mask=jnp.asarray(mask), block=dc["block"])
+                                        mask=jnp.asarray(mask),
+                                        block=dc["block"], recall_target=rt)
         else:
             s = len(tids)
             s_pad = _pow2_at_least(s, 16)
@@ -396,7 +406,8 @@ class Rii:
             qd, dc["codewords"], dc["centers_dec"], dc["centers_norms"],
             dc["bucket_start"], dc["codes_grouped"], dc["norms_grouped"],
             dc["order"], dc["slot_cluster"], w=w, topk=topk,
-            cap_max=dc["cap_max"], **kwargs)
+            cap_max=dc["cap_max"], recall_target=getattr(self, "topk_recall", None),
+            **kwargs)
         d = np.asarray(d)[:qn]
         i = np.asarray(i)[:qn]
         # If probing w clusters found fewer than topk eligible candidates, widen
@@ -474,7 +485,8 @@ class Rii:
         cw = np.asarray(self.codewords, dtype=np.float32)
         norms = code_norms_np(cw, codes)
         cap = _pow2_at_least(max(self._n, 1), 1024)
-        block = min(8192, cap)
+        block = min(8192, cap)  # pq path: bounds the one-hot decode transient
+        block_dec = min(262144, cap)  # decoded replica path: GEMM-friendly
         codes_flat = np.zeros((cap, self.M), dtype=np.uint8)
         codes_flat[: self._n] = codes
         norms_flat = np.full(cap, np.inf, dtype=np.float32)
@@ -483,6 +495,7 @@ class Rii:
             "version": self._version,
             "cap": cap,
             "block": block,
+            "block_dec": block_dec,
             "codewords": jnp.asarray(cw),
             "codes_flat": jnp.asarray(codes_flat),
             "norms_flat": jnp.asarray(norms_flat),

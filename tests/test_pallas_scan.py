@@ -1,0 +1,103 @@
+"""Pallas PQ-scan kernel tests (interpret mode on CPU).
+
+The kernel contract is per-128-slot-tile (min, argmin) of exact-ADC scores;
+that is tested EXACTLY against a numpy oracle. The end-to-end top-k wrapper is
+exact unless two true top-k fall in one tile, so it is tested at a realistic
+tiles-per-k ratio.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rii_tpu import PQ
+from rii_tpu.models.ivf import code_norms_np
+from rii_tpu.ops.pallas_scan import (
+    pq_scan_topk,
+    pq_scan_tile_minima,
+    prepare_pq_scan_inputs,
+    build_blockdiag_codewords,
+)
+
+
+def _index(n=2000, d=64, m=8, ks=32):
+    rng = np.random.RandomState(3)
+    x = rng.random((n, d)).astype(np.float32)
+    pq = PQ(M=m, Ks=ks).fit(x)
+    codes = pq.encode(x)
+    norms = code_norms_np(pq.codewords, codes)
+    return x, pq, codes, norms
+
+
+def _oracle_scores(q, codes, norms, codewords):
+    """Exact per-code scores WITHOUT ||q||^2, matching the kernel's bf16 table:
+    norms - 2 * q . decode_bf16(code)."""
+    m, ks, ds = codewords.shape
+    cw16 = codewords.astype(np.float32)  # oracle in f32; tolerance covers bf16
+    dec = cw16[np.arange(m)[None, :], codes.astype(int)].reshape(len(codes), -1)
+    return norms - 2.0 * dec @ q
+
+
+def test_tile_minima_match_oracle():
+    x, pq, codes, norms = _index()
+    n = len(codes)
+    queries = jnp.asarray(x[:4])
+    codes_t, norms2d, cwt = prepare_pq_scan_inputs(codes, norms, pq.codewords,
+                                                   blk=256)
+    vmin, amin = pq_scan_tile_minima(queries, codes_t, norms2d, cwt, blk=256,
+                                     interpret=True)
+    vmin, amin = np.asarray(vmin), np.asarray(amin)
+    cap = codes_t.shape[1]
+    nt = cap // 128
+    for qi in range(4):
+        s = np.full(cap, np.inf, np.float32)
+        s[:n] = _oracle_scores(x[qi], codes, norms, pq.codewords)
+        st = s.reshape(nt, 128)
+        ref_min = st.min(1)
+        ref_arg = st.argmin(1) + np.arange(nt) * 128
+        finite = np.isfinite(ref_min)
+        np.testing.assert_allclose(vmin[qi][finite], ref_min[finite],
+                                   rtol=2e-2, atol=2e-2)
+        # argmins must point at slots whose oracle score is within bf16 noise
+        # of the tile min (bf16 rounding can swap near-ties)
+        picked = s[np.minimum(amin[qi][finite], cap - 1)]
+        np.testing.assert_allclose(picked, ref_min[finite], rtol=2e-2, atol=2e-2)
+        assert (~finite | (amin[qi] < n) | (vmin[qi] == np.inf)).all()
+
+
+def test_pq_scan_topk_end_to_end():
+    # realistic ratio: topk=2 over 16 tiles -> collisions rare; top-1 exact
+    x, pq, codes, norms = _index()
+    queries = jnp.asarray(x[:8])
+    codes_t, norms2d, cwt = prepare_pq_scan_inputs(codes, norms, pq.codewords,
+                                                   blk=256)
+    d_p, i_p = pq_scan_topk(queries, codes_t, norms2d, cwt, topk=2, blk=256,
+                            interpret=True)
+    d_p, i_p = np.asarray(d_p), np.asarray(i_p)
+    for qi in range(8):
+        s = _oracle_scores(x[qi], codes, norms, pq.codewords) + (x[qi] ** 2).sum()
+        assert i_p[qi, 0] == int(np.argmin(s)), (qi, i_p[qi], np.argmin(s))
+        np.testing.assert_allclose(d_p[qi, 0], s.min(), rtol=2e-2, atol=2e-2)
+    assert np.all(np.diff(d_p, axis=1) >= -1e-3)
+
+
+def test_pq_scan_padding_excluded():
+    x, pq, codes, norms = _index(n=300)
+    queries = jnp.asarray(x[:2])
+    codes_t, norms2d, cwt = prepare_pq_scan_inputs(codes, norms, pq.codewords,
+                                                   blk=256)
+    d_p, i_p = pq_scan_topk(queries, codes_t, norms2d, cwt, topk=2, blk=256,
+                            interpret=True)
+    i_p = np.asarray(i_p)
+    assert (i_p < 300).all() and (i_p >= 0).all()
+
+
+def test_blockdiag_codewords_decode_identity():
+    _, pq, codes, _ = _index(n=128)
+    cwt = np.asarray(build_blockdiag_codewords(pq.codewords), dtype=np.float32)
+    m, ks, ds = pq.codewords.shape
+    oh = np.zeros(m * ks, np.float32)
+    for mm in range(m):
+        oh[mm * ks + codes[0, mm]] = 1.0
+    dec = cwt @ oh
+    expect = pq.codewords[np.arange(m), codes[0].astype(int)].reshape(-1)
+    np.testing.assert_allclose(dec, expect, rtol=1e-2, atol=1e-2)  # bf16 table

@@ -1,0 +1,51 @@
+"""Auto method-selection policy tests: analytic threshold + timed calibration
+(the reference's threshold estimator, /root/reference/rii/rii.py:403-486)."""
+
+import numpy as np
+
+from rii_tpu import PQ, Rii
+from rii_tpu.rii import estimate_best_threshold_function
+
+
+def _engine(n=600, d=32):
+    X = np.random.RandomState(5).random((n, d)).astype(np.float32)
+    e = Rii(fine_quantizer=PQ(M=4, Ks=16).fit(X))
+    e.add_configure(X, nlist=16)
+    return e, X
+
+
+def test_analytic_threshold_present_after_reconfigure():
+    e, X = _engine()
+    assert e.threshold is not None
+    assert isinstance(e.threshold, np.poly1d)
+    # threshold grows with L (more candidates -> linear viable for larger |S|)
+    assert e.threshold(1000) >= e.threshold(10)
+
+
+def test_auto_routing_uses_threshold():
+    e, X = _engine()
+    # tiny subset -> linear; full search with small L -> ivf
+    assert e._use_linear(5, e.L0)
+    assert not e._use_linear(e.N, e.L0)
+    # both routes answer correctly either way
+    q = X[0]
+    ids, _ = e.query(q, topk=3, target_ids=np.arange(10, dtype=np.int64))
+    assert set(ids) <= set(range(10))
+    ids, _ = e.query(q, topk=3)
+    assert ids[0] == 0
+
+
+def test_timed_calibration_runs_and_fits():
+    e, X = _engine(n=300)
+    probes = e.fine_quantizer.decode(e.codes[:20])
+    p = estimate_best_threshold_function(e, probes)
+    assert isinstance(p, np.poly1d)
+    # threshold values stay within [0, N] at the Ls it was fit on
+    val = float(p(e.L0))
+    assert -e.N <= val <= 2 * e.N
+
+
+def test_reconfigure_calibrate_flag():
+    e, X = _engine(n=300)
+    e.reconfigure(nlist=10, calibrate=True)
+    assert isinstance(e.threshold, np.poly1d)
