@@ -34,6 +34,80 @@ def _searchsorted_member(sorted_ids, n_valid, values):
 
 @partial(jax.jit, static_argnames=("w", "topk", "cap_max", "chunk", "precision",
                                    "recall_target"))
+def ivf_scan_topk_decoded(queries, decoded, centers_dec, centers_norms,
+                          bucket_start, norms_grouped, order, slot_cluster,
+                          w, topk, cap_max, target_ids=None, n_targets=None,
+                          chunk=2048, precision=_PREC, recall_target=None):
+    """Fully query-batched IVF probe over the bf16 decoded replica.
+
+    Candidates are gathered as decoded rows (two-step gather: probe window slot
+    -> original id -> replica row), so scoring is a batched matvec — no one-hot
+    decode on the candidate path. Used when the engine keeps the bf16 replica.
+
+    Args mirror :func:`ivf_scan_topk`, with `decoded` the (cap, D) bf16 replica
+    in ORIGINAL id order (ids >= cap clip harmlessly to padded rows whose
+    grouped norms are +inf).
+    """
+    q_all = queries.astype(jnp.float32)
+    qn = q_all.shape[0]
+    n_cand = w * cap_max
+    chunk = min(chunk, n_cand)
+    n_chunks = -(-n_cand // chunk)
+
+    # (1) batched coarse scoring + probe selection: one GEMM for all queries
+    cscores = centers_norms[None, :] - 2.0 * jnp.dot(
+        q_all.astype(jnp.bfloat16), centers_dec.T.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32)
+    _, probe = lax.top_k(-cscores, w)  # (Q, w)
+    starts = jnp.take(bucket_start, probe)  # (Q, w)
+    offs = jnp.arange(cap_max, dtype=jnp.int32)
+    slots = (starts[:, :, None] + offs[None, None, :]).reshape(qn, n_cand)
+    expect = jnp.broadcast_to(probe[:, :, None], (qn, w, cap_max)).reshape(qn, n_cand)
+    pad = n_chunks * chunk - n_cand
+    if pad:
+        slots = jnp.pad(slots, ((0, 0), (0, pad)), constant_values=0)
+        expect = jnp.pad(expect, ((0, 0), (0, pad)), constant_values=-2)
+
+    q16 = q_all.astype(jnp.bfloat16)
+
+    def chunk_fn(args):
+        slots_c, expect_c = args  # (Q, chunk)
+        valid = jnp.take(slot_cluster, slots_c) == expect_c
+        ids_c = jnp.take(order, slots_c)  # (Q, chunk)
+        norms_c = jnp.where(valid, jnp.take(norms_grouped, slots_c), jnp.inf)
+        if target_ids is not None:
+            member = _searchsorted_member(target_ids, n_targets, ids_c)
+            norms_c = jnp.where(member, norms_c, jnp.inf)
+        rows = jnp.take(decoded, jnp.maximum(ids_c, 0), axis=0)  # (Q, chunk, D)
+        cross = jnp.einsum("qcd,qd->qc", rows, q16,
+                           preferred_element_type=jnp.float32)
+        s = norms_c - 2.0 * cross
+        k_eff = min(topk, chunk)
+        neg, pos = _select_topk(-s, k_eff, recall_target)
+        return neg, jnp.take_along_axis(ids_c, pos, axis=1)
+
+    slots_chunks = jnp.swapaxes(slots.reshape(qn, n_chunks, chunk), 0, 1)
+    expect_chunks = jnp.swapaxes(expect.reshape(qn, n_chunks, chunk), 0, 1)
+    negs, idsk = lax.map(chunk_fn, (slots_chunks, expect_chunks))
+    k_eff = min(topk, chunk)
+    negs = jnp.swapaxes(negs, 0, 1).reshape(qn, n_chunks * k_eff)
+    idsk = jnp.swapaxes(idsk, 0, 1).reshape(qn, n_chunks * k_eff)
+    neg_top, pos = lax.top_k(negs, min(topk, n_chunks * k_eff))
+    ids = jnp.take_along_axis(idsk, pos, axis=1)
+    qsq = jnp.sum(q_all * q_all, axis=-1)
+    dists = -neg_top + qsq[:, None]
+    kk = dists.shape[1]
+    if kk < topk:
+        dists = jnp.concatenate(
+            [dists, jnp.full((qn, topk - kk), jnp.inf)], axis=1)
+        ids = jnp.concatenate(
+            [ids, jnp.full((qn, topk - kk), -1, ids.dtype)], axis=1)
+    ids = jnp.where(jnp.isfinite(dists), ids, -1)
+    return dists, ids
+
+
+@partial(jax.jit, static_argnames=("w", "topk", "cap_max", "chunk", "precision",
+                                   "recall_target"))
 def ivf_scan_topk(queries, codewords, centers_dec, centers_norms, bucket_start,
                   codes_grouped, norms_grouped, order, slot_cluster, w, topk,
                   cap_max, target_ids=None, n_targets=None, chunk=4096,

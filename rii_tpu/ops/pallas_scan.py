@@ -1,26 +1,28 @@
 """Pallas TPU kernel: fused uint8 PQ-code scan (decode + score + tile-reduce).
 
 This is the memory-lean flagship path (codes stay N*M uint8 in HBM — no decoded
-replica). The XLA one-hot formulation must materialize (B, M*Ks) one-hot
-tensors in HBM (matmul operands can't stay inside fusions), costing ~16-32GB of
-traffic per 1M-code scan. This kernel builds the one-hot **in VMEM** per block
-and feeds the MXU directly:
+replica). The XLA one-hot formulation must materialize (B, Ks)-sized one-hot
+tensors in HBM (matmul operands can't live inside fusions), costing ~16-32GB of
+traffic per 1M-code scan (~55 us/query measured); this kernel builds each
+one-hot **in VMEM** and feeds the MXU directly:
 
-  per grid step (one block of BLK codes):
-    codes_T (M, BLK) u8   --compare-iota-->  ohT (M*Ks, BLK) bf16   [VMEM only]
-    dec_T (D, BLK) = CW_blockdiag_T (D, M*Ks) @ ohT        [MXU, 8192-deep]
-    cross (Q, BLK) = q_bf16 (Q, D) @ dec_T                  [MXU]
-    scores = norms - 2*cross                                 [VPU]
-    per 128-lane tile: (min, argmin)  --> out (Q, BLK/128)  [tiny HBM write]
+  per 256-code sub-block, for each subspace m:
+    oh_m (SUB, Ks) = (codes[:, m] == iota)            [VPU, VMEM-resident]
+    dec (SUB, D)  += oh_m @ CW_m (Ks, D)              [MXU; CW_m is the m-th
+                                                       codebook zero-padded to
+                                                       full width D]
+  cross (SUB, Q) = dec_bf16 @ qT (D, Q)               [MXU]
+  scores_T (SUB, Q) = norms_col - 2*cross             [VPU]
+  per 128-row tile: (min, argmin) over sublanes  -> out (BLK/128, Q)
 
-The final merge (exact top-k over (Q, N/128) tile minima) runs in XLA. A tile
-can hold at most one reported candidate, so results match exact top-k unless
-two of the true top-k land in the same 128-slot tile (~k^2/(2*N/128) of
-queries; same accuracy class as lax.approx_max_k(recall_target~=0.99)).
+Everything stays in natural orientation — no in-kernel transposes or
+lane-merging reshapes (which the Mosaic lowering rejects). Queries are passed
+pre-transposed (D, Q); outputs are (ntiles, Q), transposed once in XLA.
 
-Codes are stored TRANSPOSED (M, N): an (M, BLK) u8 tile satisfies the int8
-(32, 128) min-tile with M>=8 after sublane padding, and each block read is
-contiguous per subspace row.
+The final merge (top-k over (Q, N/128) tile minima) is exact; a tile reports
+one candidate, so results match exact top-k unless two of the true top-k land
+in the same 128-slot tile (~k^2/(2*(N/128)) of queries — same accuracy class
+as lax.approx_max_k(recall_target~=0.99)).
 """
 
 from functools import partial
@@ -33,114 +35,135 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_SUB = 256   # codes decoded per inner step (bounds VMEM one-hot: SUB x Ks bf16)
+_TILE = 128  # slots per reported (min, argmin)
 
-def build_blockdiag_codewords(codewords):
-    """(M, Ks, Ds) f32 -> block-diagonal (D, M*Ks) bf16 decode matrix."""
+
+def build_padded_codewords(codewords):
+    """(M, Ks, Ds) f32 -> (M, Ks, D) bf16 with each m's slab zero-padded to D.
+
+    Row m is the m-th codebook placed at columns [m*Ds, (m+1)*Ds); accumulating
+    oh_m @ CW_m over m reconstructs the full decoded vector.
+    """
     m, ks, ds = codewords.shape
     d = m * ds
-    out = np.zeros((d, m * ks), dtype=np.float32)
+    out = np.zeros((m, ks, d), dtype=np.float32)
     cw = np.asarray(codewords)
     for mm in range(m):
-        # rows mm*Ds:(mm+1)*Ds, cols mm*Ks:(mm+1)*Ks  <-  cw[mm].T (Ds, Ks)
-        out[mm * ds:(mm + 1) * ds, mm * ks:(mm + 1) * ks] = cw[mm].T
+        out[mm, :, mm * ds:(mm + 1) * ds] = cw[mm]
     return jnp.asarray(out, dtype=jnp.bfloat16)
 
 
-def _scan_kernel(codes_ref, norms_ref, q_ref, cwt_ref, min_ref, arg_ref,
-                 *, ks, blk, tile):
-    """One grid step: scores for BLK codes, reduced to per-tile (min, argmin)."""
-    m = codes_ref.shape[0]
-    ntile = blk // tile
+def _scan_kernel(codes_ref, norms_ref, qt_ref, cw_ref, min_ref, arg_ref,
+                 *, ks, blk):
+    """One grid step: scores for BLK codes -> per-tile (min, argmin), (nt, Q).
 
-    codes = codes_ref[...]  # (M, BLK) uint8
-    # ohT[(mm, k), b] = codes[mm, b] == k  -> (M*Ks, BLK) bf16, VMEM-resident
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (m, ks, blk), 1)
-    oht = (codes[:, None, :].astype(jnp.int32) == k_iota).astype(jnp.bfloat16)
-    oht = oht.reshape(m * ks, blk)
-
-    # decode: (D, M*Ks) @ (M*Ks, BLK) -> (D, BLK); full-depth MXU contraction
-    dec_t = jnp.dot(cwt_ref[...], oht, preferred_element_type=jnp.float32)
-
-    # score: (Q, D) @ (D, BLK) -> (Q, BLK)
-    cross = jnp.dot(q_ref[...], dec_t.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
-    scores = norms_ref[...] - 2.0 * cross  # norms (1, BLK) broadcasts
-
-    # per-128-lane tile min + argmin (two-pass argmin: min, then first index)
-    qn = scores.shape[0]
-    st = scores.reshape(qn, ntile, tile)
-    vmin = jnp.min(st, axis=-1)  # (Q, ntile)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (qn, ntile, tile), 2)
-    amin = jnp.min(jnp.where(st == vmin[:, :, None], lane, tile), axis=-1)
-
+    All inner loops are unrolled with static indices: the Mosaic build in this
+    environment has no dynamic_slice lowering for TC kernels.
+    """
+    m = cw_ref.shape[0]
+    qn = qt_ref.shape[1]
+    n_sub = blk // _SUB
+    tiles_per_sub = _SUB // _TILE
     base = pl.program_id(0) * blk
-    tile_base = base + jax.lax.broadcasted_iota(jnp.int32, (qn, ntile), 1) * tile
-    min_ref[...] = vmin
-    arg_ref[...] = tile_base + jnp.minimum(amin, tile - 1)
+
+    for s in range(n_sub):  # static unroll
+        codes = codes_ref[s * _SUB:(s + 1) * _SUB, :]  # (SUB, M) uint8
+        k_iota = lax.broadcasted_iota(jnp.int32, (_SUB, ks), 1)
+
+        dec = None
+        for mm in range(m):  # static unroll: one MXU matmul per subspace
+            col = codes[:, mm].astype(jnp.int32)  # (SUB,)
+            oh = (col[:, None] == k_iota).astype(jnp.bfloat16)  # (SUB, Ks)
+            part = jnp.dot(oh, cw_ref[mm], preferred_element_type=jnp.float32)
+            dec = part if dec is None else dec + part  # (SUB, D)
+
+        cross = jnp.dot(dec.astype(jnp.bfloat16), qt_ref[...],
+                        preferred_element_type=jnp.float32)  # (SUB, Q)
+        scores = norms_ref[s * _SUB:(s + 1) * _SUB, :] - 2.0 * cross
+
+        st = scores.reshape(tiles_per_sub, _TILE, qn)
+        vmin = jnp.min(st, axis=1)  # (tps, Q)
+        row = lax.broadcasted_iota(jnp.int32, (tiles_per_sub, _TILE, qn), 1)
+        amin = jnp.min(jnp.where(st == vmin[:, None, :], row, _TILE), axis=1)
+        amin = jnp.minimum(amin, _TILE - 1)
+
+        tile_base = base + s * _SUB + lax.broadcasted_iota(
+            jnp.int32, (tiles_per_sub, qn), 0) * _TILE
+        out_row = s * tiles_per_sub
+        min_ref[out_row:out_row + tiles_per_sub, :] = vmin
+        arg_ref[out_row:out_row + tiles_per_sub, :] = tile_base + amin
 
 
 @partial(jax.jit, static_argnames=("blk", "interpret"))
-def pq_scan_tile_minima(queries, codes_t, norms2d, cw_blockdiag_t, blk=256,
+def pq_scan_tile_minima(queries, codes, norms_col, cw_padded, blk=1024,
                         interpret=False):
     """Kernel contract: per-query (min, arg-id) over each 128-slot tile.
 
-    Returns (vmin (Q, cap/128) f32 WITHOUT the ||q||^2 term, amin (Q, cap/128)
-    int32 global slot ids).
+    Args:
+        queries: (Q, D) f32.
+        codes: (cap, M) uint8, cap % blk == 0.
+        norms_col: (cap, 1) f32, +inf on padded slots.
+        cw_padded: (M, Ks, D) bf16 from :func:`build_padded_codewords`.
+
+    Returns (vmin (Q, cap/128) f32 WITHOUT the ||q||^2 term,
+             amin (Q, cap/128) int32 global slot ids).
     """
-    m, cap = codes_t.shape
-    d = cw_blockdiag_t.shape[0]
+    cap, m = codes.shape
+    ks = cw_padded.shape[1]
+    d = cw_padded.shape[2]
     qn = queries.shape[0]
     assert cap % blk == 0, (cap, blk)
-    tile = 128
-    assert blk % tile == 0
-    nt = cap // tile
+    assert blk % _SUB == 0 and blk // _TILE >= 8, blk
+    nt = cap // _TILE
     grid = (cap // blk,)
-    ks = cw_blockdiag_t.shape[1] // m
 
-    q_bf16 = queries.astype(jnp.bfloat16)
-    kernel = partial(_scan_kernel, ks=ks, blk=blk, tile=tile)
-    vmin, amin = pl.pallas_call(
+    qt = queries.astype(jnp.bfloat16).T  # (D, Q)
+    kernel = partial(_scan_kernel, ks=ks, blk=blk)
+    vmin_t, amin_t = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, m * ks), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, qn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, ks, d), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((qn, blk // tile), lambda i: (0, i),
+            pl.BlockSpec((blk // _TILE, qn), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((qn, blk // tile), lambda i: (0, i),
+            pl.BlockSpec((blk // _TILE, qn), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((qn, nt), jnp.float32),
-            jax.ShapeDtypeStruct((qn, nt), jnp.int32),
+            jax.ShapeDtypeStruct((nt, qn), jnp.float32),
+            jax.ShapeDtypeStruct((nt, qn), jnp.int32),
         ],
         interpret=interpret,
-    )(codes_t, norms2d, q_bf16, cw_blockdiag_t)
-    return vmin, amin
+    )(codes, norms_col, qt, cw_padded)
+    return vmin_t.T, amin_t.T
 
 
-@partial(jax.jit, static_argnames=("topk", "blk", "interpret"))
-def pq_scan_topk(queries, codes_t, norms2d, cw_blockdiag_t, topk, blk=256,
-                 interpret=False):
-    """Fused PQ scan: queries (Q, D) f32, codes_t (M, cap) u8 TRANSPOSED,
-    norms2d (1, cap) f32 (+inf on padding), cw_blockdiag_t (D, M*Ks) bf16.
+@partial(jax.jit, static_argnames=("topk", "blk", "interpret", "recall_target"))
+def pq_scan_topk(queries, codes, norms_col, cw_padded, topk, blk=1024,
+                 interpret=False, recall_target=None):
+    """Fused PQ scan over uint8 codes. See :func:`pq_scan_tile_minima` for args.
 
     Returns (dists (Q, topk) f32 ascending, ids (Q, topk) int32, -1 padded).
     Accuracy: exact except when two of the true top-k fall in one 128-slot
     tile (negligible when N/128 >> topk^2; use the XLA paths otherwise).
     """
     qn = queries.shape[0]
-    vmin, amin = pq_scan_tile_minima(queries, codes_t, norms2d,
-                                     cw_blockdiag_t, blk=blk,
-                                     interpret=interpret)
+    vmin, amin = pq_scan_tile_minima(queries, codes, norms_col, cw_padded,
+                                     blk=blk, interpret=interpret)
     nt = vmin.shape[1]
     qsq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
     k_eff = min(topk, nt)
-    neg, pos = lax.top_k(-vmin, k_eff)
+    if recall_target is None:
+        neg, pos = lax.top_k(-vmin, k_eff)
+    else:
+        neg, pos = lax.approx_max_k(-vmin, k_eff, recall_target=recall_target)
     ids = jnp.take_along_axis(amin, pos, axis=1)
     dists = -neg + qsq[:, None]
     if k_eff < topk:
@@ -151,19 +174,19 @@ def pq_scan_topk(queries, codes_t, norms2d, cw_blockdiag_t, topk, blk=256,
     return dists, ids
 
 
-def prepare_pq_scan_inputs(codes, norms, codewords, cap=None, blk=256):
-    """Host-side packing for pq_scan_topk: transpose codes, pad to cap.
+def prepare_pq_scan_inputs(codes, norms, codewords, cap=None, blk=1024):
+    """Host-side packing for pq_scan_topk: pad codes/norms to cap.
 
-    Returns (codes_t (M, cap) u8 jnp, norms2d (1, cap) f32 jnp,
-    cw_blockdiag_t (D, M*Ks) bf16 jnp).
+    Returns (codes (cap, M) u8 jnp, norms_col (cap, 1) f32 jnp,
+    cw_padded (M, Ks, D) bf16 jnp).
     """
     n, m = codes.shape
     if cap is None:
         cap = ((n + blk - 1) // blk) * blk
     assert cap % blk == 0 and cap >= n
-    ct = np.zeros((m, cap), dtype=np.uint8)
-    ct[:, :n] = np.asarray(codes).T
-    nm = np.full((1, cap), np.inf, dtype=np.float32)
-    nm[0, :n] = norms
-    return (jnp.asarray(ct), jnp.asarray(nm),
-            build_blockdiag_codewords(codewords))
+    cp = np.zeros((cap, m), dtype=np.uint8)
+    cp[:n] = np.asarray(codes)
+    nm = np.full((cap, 1), np.inf, dtype=np.float32)
+    nm[:n, 0] = norms
+    return (jnp.asarray(cp), jnp.asarray(nm),
+            build_padded_codewords(codewords))

@@ -33,7 +33,8 @@ from rii_tpu.ops.scan import (
     subset_scan_topk,
     subset_scan_topk_decoded,
 )
-from rii_tpu.ops.ivf import ivf_scan_topk
+from rii_tpu.ops.ivf import ivf_scan_topk, ivf_scan_topk_decoded
+from rii_tpu.ops.pallas_scan import pq_scan_topk, prepare_pq_scan_inputs
 
 _RECONFIGURE_SAMPLE_SEED = 123  # mirrors std::default_random_engine(123), src/rii.h:122
 _PQKMEANS_SEED = 0  # mirrors mt19937(0), src/pqkmeans.cpp:186
@@ -349,6 +350,10 @@ class Rii:
                 d, i = linear_scan_topk_decoded(qd, decoded, dc["norms_flat"],
                                                 topk=topk, block=dc["block_dec"],
                                                 recall_target=rt)
+            elif "pallas_codes" in dc:
+                d, i = pq_scan_topk(qd, dc["pallas_codes"], dc["pallas_norms"],
+                                    dc["pallas_cw"], topk=topk,
+                                    recall_target=rt)
             else:
                 d, i = linear_scan_topk(qd, dc["codes_flat"], dc["norms_flat"],
                                         dc["codewords"], topk=topk,
@@ -361,6 +366,13 @@ class Rii:
                                                 topk=topk, mask=jnp.asarray(mask),
                                                 block=dc["block_dec"],
                                                 recall_target=rt)
+            elif "pallas_codes" in dc:
+                # fold the subset mask into the norms column (+inf = excluded)
+                norms_col = np.asarray(dc["pallas_norms"]).copy()
+                norms_col[~mask, 0] = np.inf
+                d, i = pq_scan_topk(qd, dc["pallas_codes"],
+                                    jnp.asarray(norms_col), dc["pallas_cw"],
+                                    topk=topk, recall_target=rt)
             else:
                 d, i = linear_scan_topk(qd, dc["codes_flat"], dc["norms_flat"],
                                         dc["codewords"], topk=topk,
@@ -402,12 +414,20 @@ class Rii:
             tids_pad = np.full(s_pad, np.iinfo(np.int32).max, dtype=np.int32)
             tids_pad[:s] = tids  # sorted; pad with +inf-like sentinel keeps order
             kwargs = dict(target_ids=jnp.asarray(tids_pad), n_targets=jnp.int32(s))
-        d, i = ivf_scan_topk(
-            qd, dc["codewords"], dc["centers_dec"], dc["centers_norms"],
-            dc["bucket_start"], dc["codes_grouped"], dc["norms_grouped"],
-            dc["order"], dc["slot_cluster"], w=w, topk=topk,
-            cap_max=dc["cap_max"], recall_target=getattr(self, "topk_recall", None),
-            **kwargs)
+        rt = getattr(self, "topk_recall", None)
+        if "decoded_flat" in dc:
+            # fully query-batched probe over the bf16 replica
+            d, i = ivf_scan_topk_decoded(
+                qd, dc["decoded_flat"], dc["centers_dec"], dc["centers_norms"],
+                dc["bucket_start"], dc["norms_grouped"], dc["order"],
+                dc["slot_cluster"], w=w, topk=topk, cap_max=dc["cap_max"],
+                recall_target=rt, **kwargs)
+        else:
+            d, i = ivf_scan_topk(
+                qd, dc["codewords"], dc["centers_dec"], dc["centers_norms"],
+                dc["bucket_start"], dc["codes_grouped"], dc["norms_grouped"],
+                dc["order"], dc["slot_cluster"], w=w, topk=topk,
+                cap_max=dc["cap_max"], recall_target=rt, **kwargs)
         d = np.asarray(d)[:qn]
         i = np.asarray(i)[:qn]
         # If probing w clusters found fewer than topk eligible candidates, widen
@@ -460,6 +480,18 @@ class Rii:
         import jax
         return fits and jax.default_backend() in ("tpu", "gpu", "axon")
 
+    def _use_pallas_scan(self):
+        """Fused uint8 Pallas scan: the pq-mode fast path on accelerators.
+
+        Slightly approximate selection (one candidate per 128-slot tile), same
+        accuracy class as topk_recall=0.99 — so it is disabled when the user
+        asks for bit-exact selection (topk_recall=None).
+        """
+        import jax
+        if jax.default_backend() == "cpu":
+            return False
+        return getattr(self, "topk_recall", None) is not None
+
     def _consolidated_codes(self):
         if self._codes_cache is None:
             if not self._code_chunks:
@@ -502,6 +534,14 @@ class Rii:
         }
         if self._use_decoded_cache(cap):
             dc["decoded_flat"] = build_decoded_cache(dc["codes_flat"], dc["codewords"])
+        elif self._use_pallas_scan():
+            # memory-lean TPU path: fused Pallas scan over uint8 codes
+            # (cap is a power of two >= 1024, so divisible by the 1024 block)
+            codes_p, norms_col, cw_padded = prepare_pq_scan_inputs(
+                codes, norms, cw, cap=cap)
+            dc["pallas_codes"] = codes_p
+            dc["pallas_norms"] = norms_col
+            dc["pallas_cw"] = cw_padded
         if self._centers is not None:
             nlist = self.nlist
             layout = build_grouped_layout(codes, norms, self._assignments(), nlist)

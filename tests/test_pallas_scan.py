@@ -15,7 +15,7 @@ from rii_tpu.ops.pallas_scan import (
     pq_scan_topk,
     pq_scan_tile_minima,
     prepare_pq_scan_inputs,
-    build_blockdiag_codewords,
+    build_padded_codewords,
 )
 
 
@@ -42,11 +42,11 @@ def test_tile_minima_match_oracle():
     n = len(codes)
     queries = jnp.asarray(x[:4])
     codes_t, norms2d, cwt = prepare_pq_scan_inputs(codes, norms, pq.codewords,
-                                                   blk=256)
-    vmin, amin = pq_scan_tile_minima(queries, codes_t, norms2d, cwt, blk=256,
+                                                   blk=1024)
+    vmin, amin = pq_scan_tile_minima(queries, codes_t, norms2d, cwt, blk=1024,
                                      interpret=True)
     vmin, amin = np.asarray(vmin), np.asarray(amin)
-    cap = codes_t.shape[1]
+    cap = codes_t.shape[0]
     nt = cap // 128
     for qi in range(4):
         s = np.full(cap, np.inf, np.float32)
@@ -69,8 +69,8 @@ def test_pq_scan_topk_end_to_end():
     x, pq, codes, norms = _index()
     queries = jnp.asarray(x[:8])
     codes_t, norms2d, cwt = prepare_pq_scan_inputs(codes, norms, pq.codewords,
-                                                   blk=256)
-    d_p, i_p = pq_scan_topk(queries, codes_t, norms2d, cwt, topk=2, blk=256,
+                                                   blk=1024)
+    d_p, i_p = pq_scan_topk(queries, codes_t, norms2d, cwt, topk=2, blk=1024,
                             interpret=True)
     d_p, i_p = np.asarray(d_p), np.asarray(i_p)
     for qi in range(8):
@@ -84,20 +84,19 @@ def test_pq_scan_padding_excluded():
     x, pq, codes, norms = _index(n=300)
     queries = jnp.asarray(x[:2])
     codes_t, norms2d, cwt = prepare_pq_scan_inputs(codes, norms, pq.codewords,
-                                                   blk=256)
-    d_p, i_p = pq_scan_topk(queries, codes_t, norms2d, cwt, topk=2, blk=256,
+                                                   blk=1024)
+    d_p, i_p = pq_scan_topk(queries, codes_t, norms2d, cwt, topk=2, blk=1024,
                             interpret=True)
     i_p = np.asarray(i_p)
     assert (i_p < 300).all() and (i_p >= 0).all()
 
 
-def test_blockdiag_codewords_decode_identity():
+def test_padded_codewords_decode_identity():
     _, pq, codes, _ = _index(n=128)
-    cwt = np.asarray(build_blockdiag_codewords(pq.codewords), dtype=np.float32)
+    cwp = np.asarray(build_padded_codewords(pq.codewords), dtype=np.float32)
     m, ks, ds = pq.codewords.shape
-    oh = np.zeros(m * ks, np.float32)
+    dec = np.zeros(m * ds, np.float32)
     for mm in range(m):
-        oh[mm * ks + codes[0, mm]] = 1.0
-    dec = cwt @ oh
+        dec += cwp[mm, codes[0, mm]]
     expect = pq.codewords[np.arange(m), codes[0].astype(int)].reshape(-1)
     np.testing.assert_allclose(dec, expect, rtol=1e-2, atol=1e-2)  # bf16 table
