@@ -121,12 +121,13 @@ def main():
 
     rt = e.topk_recall
     if "decoded_flat" in dc:
+        from rii_tpu.ops.pallas_scan import replica_scan_topk
+
         @jax.jit
         def loop(qr_, decoded, norms):
             def f(qb):
-                return linear_scan_topk_decoded(
-                    qb, decoded, norms, topk=topk,
-                    block=dc["block_dec"], recall_target=rt)
+                return replica_scan_topk(qb, decoded, norms[:, None],
+                                         topk=topk, blk=1024, recall_target=rt)
             d_all, i_all = lax.map(f, qr_)
             return d_all[:, 0, 0]  # tiny result forces full execution
 

@@ -47,10 +47,28 @@ def main():
     norms = rng.random(N).astype(np.float32)
     q = jnp.asarray(rng.random((Q, D)).astype(np.float32))
 
-    from rii_tpu.ops.pallas_scan import pq_scan_topk, prepare_pq_scan_inputs
+    from rii_tpu.ops.pallas_scan import (
+        pq_scan_topk, prepare_pq_scan_inputs, replica_scan_topk)
+    from rii_tpu.ops.decode import build_decoded_cache
     from rii_tpu.ops.scan import linear_scan_topk
 
-    for blk in (256, 512, 1024):
+    # fused replica kernel
+    codes_p, norms_col, _cwp = prepare_pq_scan_inputs(codes, norms, cw, blk=2048)
+    decoded = jax.block_until_ready(
+        build_decoded_cache(codes_p, jnp.asarray(cw), block=2048))
+    for blk in (1024, 2048, 4096):
+        try:
+            t = timeit(partial(replica_scan_topk, topk=K, blk=blk,
+                               recall_target=0.99),
+                       q, decoded, norms_col, rtt=rtt)
+            print(f"pallas replica_scan blk={blk:>5}: {t*1e3:8.2f} ms "
+                  f"({t/Q*1e6:8.2f} us/q, {Q/t:9.0f} qps)", flush=True)
+        except Exception as e:
+            print(f"pallas replica blk={blk} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+    del decoded
+
+    for blk in (1024,):
         codes_t, norms2d, cwt = prepare_pq_scan_inputs(codes, norms, cw, blk=blk)
         try:
             t = timeit(partial(pq_scan_topk, topk=K, blk=blk),

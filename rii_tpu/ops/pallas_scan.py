@@ -81,18 +81,100 @@ def _scan_kernel(codes_ref, norms_ref, qt_ref, cw_ref, min_ref, arg_ref,
         cross = jnp.dot(dec.astype(jnp.bfloat16), qt_ref[...],
                         preferred_element_type=jnp.float32)  # (SUB, Q)
         scores = norms_ref[s * _SUB:(s + 1) * _SUB, :] - 2.0 * cross
+        _tile_reduce_and_store(scores, base, s, qn, min_ref, arg_ref)
 
-        st = scores.reshape(tiles_per_sub, _TILE, qn)
-        vmin = jnp.min(st, axis=1)  # (tps, Q)
-        row = lax.broadcasted_iota(jnp.int32, (tiles_per_sub, _TILE, qn), 1)
-        amin = jnp.min(jnp.where(st == vmin[:, None, :], row, _TILE), axis=1)
-        amin = jnp.minimum(amin, _TILE - 1)
 
-        tile_base = base + s * _SUB + lax.broadcasted_iota(
-            jnp.int32, (tiles_per_sub, qn), 0) * _TILE
-        out_row = s * tiles_per_sub
-        min_ref[out_row:out_row + tiles_per_sub, :] = vmin
-        arg_ref[out_row:out_row + tiles_per_sub, :] = tile_base + amin
+def _tile_reduce_and_store(scores, base, s, qn, min_ref, arg_ref):
+    """Shared epilogue: (SUB, Q) scores -> per-128-row (min, argmin) stores."""
+    tiles_per_sub = _SUB // _TILE
+    st = scores.reshape(tiles_per_sub, _TILE, qn)
+    vmin = jnp.min(st, axis=1)  # (tps, Q)
+    row = lax.broadcasted_iota(jnp.int32, (tiles_per_sub, _TILE, qn), 1)
+    amin = jnp.min(jnp.where(st == vmin[:, None, :], row, _TILE), axis=1)
+    amin = jnp.minimum(amin, _TILE - 1)
+    tile_base = base + s * _SUB + lax.broadcasted_iota(
+        jnp.int32, (tiles_per_sub, qn), 0) * _TILE
+    out_row = s * tiles_per_sub
+    min_ref[out_row:out_row + tiles_per_sub, :] = vmin
+    arg_ref[out_row:out_row + tiles_per_sub, :] = tile_base + amin
+
+
+def _replica_scan_kernel(dec_ref, norms_ref, qt_ref, min_ref, arg_ref, *, blk):
+    """Replica-mode grid step: one MXU GEMM per sub-block + tile reduce."""
+    qn = qt_ref.shape[1]
+    base = pl.program_id(0) * blk
+    for s in range(blk // _SUB):  # static unroll
+        dec = dec_ref[s * _SUB:(s + 1) * _SUB, :]  # (SUB, D) bf16
+        cross = jnp.dot(dec, qt_ref[...], preferred_element_type=jnp.float32)
+        scores = norms_ref[s * _SUB:(s + 1) * _SUB, :] - 2.0 * cross
+        _tile_reduce_and_store(scores, base, s, qn, min_ref, arg_ref)
+
+
+@partial(jax.jit, static_argnames=("blk", "interpret"))
+def replica_scan_tile_minima(queries, decoded, norms_col, blk=1024,
+                             interpret=False):
+    """Per-tile (min, argmin) over the bf16 decoded replica.
+
+    decoded: (cap, D) bf16; norms_col: (cap, 1) f32 (+inf padding).
+    Returns (vmin (Q, cap/128) WITHOUT ||q||^2, amin (Q, cap/128) int32).
+    """
+    cap, d = decoded.shape
+    qn = queries.shape[0]
+    assert cap % blk == 0 and blk % _SUB == 0 and blk // _TILE >= 8, (cap, blk)
+    nt = cap // _TILE
+    qt = queries.astype(jnp.bfloat16).T  # (D, Q)
+    kernel = partial(_replica_scan_kernel, blk=blk)
+    vmin_t, amin_t = pl.pallas_call(
+        kernel,
+        grid=(cap // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, qn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((blk // _TILE, qn), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk // _TILE, qn), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, qn), jnp.float32),
+            jax.ShapeDtypeStruct((nt, qn), jnp.int32),
+        ],
+        interpret=interpret,
+    )(decoded, norms_col, qt)
+    return vmin_t.T, amin_t.T
+
+
+def _merge_tile_minima(queries, vmin, amin, topk, recall_target):
+    """Exact/approx top-k over tile minima + ||q||^2 restore (shared)."""
+    qn = queries.shape[0]
+    nt = vmin.shape[1]
+    qsq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
+    k_eff = min(topk, nt)
+    if recall_target is None:
+        neg, pos = lax.top_k(-vmin, k_eff)
+    else:
+        neg, pos = lax.approx_max_k(-vmin, k_eff, recall_target=recall_target)
+    ids = jnp.take_along_axis(amin, pos, axis=1)
+    dists = -neg + qsq[:, None]
+    if k_eff < topk:
+        pad = topk - k_eff
+        dists = jnp.concatenate([dists, jnp.full((qn, pad), jnp.inf)], axis=1)
+        ids = jnp.concatenate([ids, jnp.full((qn, pad), -1, ids.dtype)], axis=1)
+    ids = jnp.where(jnp.isfinite(dists), ids, -1)
+    return dists, ids
+
+
+@partial(jax.jit, static_argnames=("topk", "blk", "interpret", "recall_target"))
+def replica_scan_topk(queries, decoded, norms_col, topk, blk=1024,
+                      interpret=False, recall_target=0.99):
+    """Fused replica scan (GEMM + tile reduce in one kernel). Same accuracy
+    class as pq_scan_topk; the fastest full-scan path."""
+    vmin, amin = replica_scan_tile_minima(queries, decoded, norms_col, blk=blk,
+                                          interpret=interpret)
+    return _merge_tile_minima(queries, vmin, amin, topk, recall_target)
 
 
 @partial(jax.jit, static_argnames=("blk", "interpret"))
@@ -154,24 +236,9 @@ def pq_scan_topk(queries, codes, norms_col, cw_padded, topk, blk=1024,
     Accuracy: exact except when two of the true top-k fall in one 128-slot
     tile (negligible when N/128 >> topk^2; use the XLA paths otherwise).
     """
-    qn = queries.shape[0]
     vmin, amin = pq_scan_tile_minima(queries, codes, norms_col, cw_padded,
                                      blk=blk, interpret=interpret)
-    nt = vmin.shape[1]
-    qsq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
-    k_eff = min(topk, nt)
-    if recall_target is None:
-        neg, pos = lax.top_k(-vmin, k_eff)
-    else:
-        neg, pos = lax.approx_max_k(-vmin, k_eff, recall_target=recall_target)
-    ids = jnp.take_along_axis(amin, pos, axis=1)
-    dists = -neg + qsq[:, None]
-    if k_eff < topk:
-        pad = topk - k_eff
-        dists = jnp.concatenate([dists, jnp.full((qn, pad), jnp.inf)], axis=1)
-        ids = jnp.concatenate([ids, jnp.full((qn, pad), -1, ids.dtype)], axis=1)
-    ids = jnp.where(jnp.isfinite(dists), ids, -1)
-    return dists, ids
+    return _merge_tile_minima(queries, vmin, amin, topk, recall_target)
 
 
 def prepare_pq_scan_inputs(codes, norms, codewords, cap=None, blk=1024):

@@ -34,7 +34,11 @@ from rii_tpu.ops.scan import (
     subset_scan_topk_decoded,
 )
 from rii_tpu.ops.ivf import ivf_scan_topk, ivf_scan_topk_decoded
-from rii_tpu.ops.pallas_scan import pq_scan_topk, prepare_pq_scan_inputs
+from rii_tpu.ops.pallas_scan import (
+    pq_scan_topk,
+    prepare_pq_scan_inputs,
+    replica_scan_topk,
+)
 
 _RECONFIGURE_SAMPLE_SEED = 123  # mirrors std::default_random_engine(123), src/rii.h:122
 _PQKMEANS_SEED = 0  # mirrors mt19937(0), src/pqkmeans.cpp:186
@@ -345,8 +349,13 @@ class Rii:
         qd = jnp.asarray(qp)
         decoded = dc.get("decoded_flat")
         rt = getattr(self, "topk_recall", None)
+        use_pallas_replica = decoded is not None and self._use_pallas_scan()
         if tids is None:
-            if decoded is not None:
+            if use_pallas_replica:
+                d, i = replica_scan_topk(qd, decoded, dc["norms_flat"][:, None],
+                                         topk=topk, blk=min(1024, dc["cap"]),
+                                         recall_target=rt)
+            elif decoded is not None:
                 d, i = linear_scan_topk_decoded(qd, decoded, dc["norms_flat"],
                                                 topk=topk, block=dc["block_dec"],
                                                 recall_target=rt)
@@ -361,7 +370,14 @@ class Rii:
         elif len(tids) > max(4096, self._n // 2):
             mask = np.zeros(dc["cap"], dtype=bool)
             mask[np.clip(tids, 0, dc["cap"] - 1)] = True
-            if decoded is not None:
+            if use_pallas_replica:
+                norms_col = np.asarray(dc["norms_flat"]).copy()
+                norms_col[~mask] = np.inf
+                d, i = replica_scan_topk(qd, decoded,
+                                         jnp.asarray(norms_col[:, None]),
+                                         topk=topk, blk=min(1024, dc["cap"]),
+                                         recall_target=rt)
+            elif decoded is not None:
                 d, i = linear_scan_topk_decoded(qd, decoded, dc["norms_flat"],
                                                 topk=topk, mask=jnp.asarray(mask),
                                                 block=dc["block_dec"],

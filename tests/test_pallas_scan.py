@@ -91,6 +91,23 @@ def test_pq_scan_padding_excluded():
     assert (i_p < 300).all() and (i_p >= 0).all()
 
 
+def test_replica_scan_matches_pq_scan():
+    from rii_tpu.ops.pallas_scan import replica_scan_topk
+    from rii_tpu.ops.decode import build_decoded_cache
+    x, pq, codes, norms = _index()
+    queries = jnp.asarray(x[:4])
+    codes_p, norms_col, cwp = prepare_pq_scan_inputs(codes, norms, pq.codewords,
+                                                     blk=2048)
+    decoded = build_decoded_cache(codes_p, jnp.asarray(pq.codewords), block=2048)
+    d_r, i_r = replica_scan_topk(queries, decoded, norms_col, topk=2, blk=2048,
+                                 interpret=True, recall_target=None)
+    d_p, i_p = pq_scan_topk(queries, codes_p, norms_col, cwp, topk=2, blk=1024,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_r), np.asarray(i_p))
+    np.testing.assert_allclose(np.asarray(d_r), np.asarray(d_p), rtol=2e-2,
+                               atol=2e-2)
+
+
 def test_padded_codewords_decode_identity():
     _, pq, codes, _ = _index(n=128)
     cwp = np.asarray(build_padded_codewords(pq.codewords), dtype=np.float32)
