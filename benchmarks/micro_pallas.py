@@ -66,7 +66,23 @@ def main():
         except Exception as e:
             print(f"pallas replica blk={blk} FAILED: {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
+    # int8 replica kernel (with exact rescore)
+    from rii_tpu.ops.pallas_scan import replica_i8_scan_topk, quantize_replica_i8
+    dec_i8, scales = quantize_replica_i8(decoded)
+    dec_i8 = jax.block_until_ready(dec_i8)
     del decoded
+    codes_j = jnp.asarray(codes)
+    cw_j = jnp.asarray(cw)
+    try:
+        t = timeit(partial(replica_i8_scan_topk, topk=K, blk=1024,
+                           recall_target=0.99),
+                   q, dec_i8, scales, norms_col, codes_j, cw_j, rtt=rtt)
+        print(f"pallas i8 replica_scan blk=1024: {t*1e3:8.2f} ms "
+              f"({t/Q*1e6:8.2f} us/q, {Q/t:9.0f} qps)", flush=True)
+    except Exception as e:
+        print(f"pallas i8 replica FAILED: {type(e).__name__}: {str(e)[:300]}",
+              flush=True)
+    del dec_i8
 
     for blk in (1024,):
         codes_t, norms2d, cwt = prepare_pq_scan_inputs(codes, norms, cw, blk=blk)

@@ -177,6 +177,120 @@ def replica_scan_topk(queries, decoded, norms_col, topk, blk=1024,
     return _merge_tile_minima(queries, vmin, amin, topk, recall_target)
 
 
+# --------------------------------------------------------------------------- #
+# int8 replica: half the memory of bf16, ~2x MXU throughput (394 TOPS on v5e)
+# --------------------------------------------------------------------------- #
+
+def _replica_i8_kernel(dec_ref, norms_ref, qt_ref, alpha_ref, min_ref, arg_ref,
+                       *, blk):
+    """int8 grid step: int8 MXU GEMM, per-query dequant, tile reduce."""
+    qn = qt_ref.shape[1]
+    base = pl.program_id(0) * blk
+    for s in range(blk // _SUB):  # static unroll
+        dec = dec_ref[s * _SUB:(s + 1) * _SUB, :]  # (SUB, D) int8
+        cross = jnp.dot(dec, qt_ref[...], preferred_element_type=jnp.int32)
+        scores = (norms_ref[s * _SUB:(s + 1) * _SUB, :]
+                  - 2.0 * cross.astype(jnp.float32) * alpha_ref[...])
+        _tile_reduce_and_store(scores, base, s, qn, min_ref, arg_ref)
+
+
+@partial(jax.jit, static_argnames=("blk", "interpret"))
+def replica_i8_scan_tile_minima(queries, decoded_i8, col_scales, norms_col,
+                                blk=1024, interpret=False):
+    """Per-tile (min, argmin) over the int8 replica.
+
+    decoded_i8: (cap, D) int8 where row = round(decode(code)_d / col_scales_d).
+    The column scales are folded into the query (qs = q * col_scales), which is
+    then quantized per-query to int8 so the MXU runs a pure int8x int8 -> int32
+    GEMM; the per-query dequant factor alpha restores the cross term.
+    """
+    cap, d = decoded_i8.shape
+    qn = queries.shape[0]
+    assert cap % blk == 0 and blk % _SUB == 0 and blk // _TILE >= 8, (cap, blk)
+    nt = cap // _TILE
+
+    q = queries.astype(jnp.float32)
+    qs = q * col_scales[None, :]  # (Q, D)
+    qmax = jnp.maximum(jnp.max(jnp.abs(qs), axis=1), 1e-30)  # (Q,)
+    qscale = qmax / 127.0
+    q_i8 = jnp.clip(jnp.round(qs / qscale[:, None]), -127, 127).astype(jnp.int8)
+    alpha = qscale[None, :]  # (1, Q): cross_f32 = cross_i32 * alpha
+
+    kernel = partial(_replica_i8_kernel, blk=blk)
+    vmin_t, amin_t = pl.pallas_call(
+        kernel,
+        grid=(cap // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, qn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((blk // _TILE, qn), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk // _TILE, qn), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, qn), jnp.float32),
+            jax.ShapeDtypeStruct((nt, qn), jnp.int32),
+        ],
+        interpret=interpret,
+    )(decoded_i8, norms_col, q_i8.T, alpha)
+    return vmin_t.T, amin_t.T
+
+
+@partial(jax.jit, static_argnames=("topk", "blk", "interpret", "recall_target",
+                                   "overfetch"))
+def replica_i8_scan_topk(queries, decoded_i8, col_scales, norms_col,
+                         codes, codewords, topk, blk=1024, interpret=False,
+                         recall_target=0.99, overfetch=2):
+    """int8 replica scan with exact bf16-class rescoring of the final top-k.
+
+    The int8 pass selects `overfetch * topk` candidates per query; the
+    candidates' exact decoded rows are reconstructed from the uint8 codes
+    (one-hot over just Q*k rows — negligible) and re-scored in f32, so returned
+    distances match the exact-ADC paths up to bf16-table rounding.
+    """
+    from rii_tpu.ops.decode import onehot_decode
+
+    qn = queries.shape[0]
+    vmin, amin = replica_i8_scan_tile_minima(queries, decoded_i8, col_scales,
+                                             norms_col, blk=blk,
+                                             interpret=interpret)
+    k_fetch = min(max(topk * overfetch, topk + 8), vmin.shape[1])
+    d_a, ids_a = _merge_tile_minima(queries, vmin, amin, k_fetch, recall_target)
+
+    # exact rescore of the fetched candidates
+    safe = jnp.maximum(ids_a, 0)
+    cand_codes = jnp.take(codes, safe, axis=0)  # (Q, k_fetch, M)
+    dec = onehot_decode(cand_codes.reshape(qn * k_fetch, -1),
+                        codewords).reshape(qn, k_fetch, -1)  # f32
+    q = queries.astype(jnp.float32)
+    cross = jnp.einsum("qkd,qd->qk", dec, q)
+    norms_c = jnp.take(norms_col[:, 0], safe)
+    qsq = jnp.sum(q * q, axis=1)
+    exact = jnp.where(ids_a >= 0, norms_c - 2.0 * cross + qsq[:, None], jnp.inf)
+    neg, pos = lax.top_k(-exact, topk)
+    ids = jnp.take_along_axis(ids_a, pos, axis=1)
+    dists = -neg
+    ids = jnp.where(jnp.isfinite(dists), ids, -1)
+    return dists, ids
+
+
+def quantize_replica_i8(decoded, eps=1e-30):
+    """(cap, D) f32/bf16 replica -> (decoded_i8 (cap, D) int8, col_scales (D,) f32).
+
+    Per-column symmetric quantization; padded rows should be zero-filled by the
+    caller (their +inf norms keep them out of every top-k).
+    """
+    dec = decoded.astype(jnp.float32)
+    col_scales = jnp.maximum(jnp.max(jnp.abs(dec), axis=0), eps) / 127.0
+    q = jnp.clip(jnp.round(dec / col_scales[None, :]), -127, 127)
+    return q.astype(jnp.int8), col_scales
+
+
 @partial(jax.jit, static_argnames=("blk", "interpret"))
 def pq_scan_tile_minima(queries, codes, norms_col, cw_padded, blk=1024,
                         interpret=False):

@@ -351,7 +351,14 @@ class Rii:
         rt = getattr(self, "topk_recall", None)
         use_pallas_replica = decoded is not None and self._use_pallas_scan()
         if tids is None:
-            if use_pallas_replica:
+            if "decoded_i8" in dc:
+                from rii_tpu.ops.pallas_scan import replica_i8_scan_topk
+                d, i = replica_i8_scan_topk(
+                    qd, dc["decoded_i8"], dc["i8_scales"],
+                    dc["norms_flat"][:, None], dc["codes_flat"],
+                    dc["codewords"], topk=topk, blk=min(1024, dc["cap"]),
+                    recall_target=rt)
+            elif use_pallas_replica:
                 d, i = replica_scan_topk(qd, decoded, dc["norms_flat"][:, None],
                                          topk=topk, blk=min(1024, dc["cap"]),
                                          recall_target=rt)
@@ -370,7 +377,16 @@ class Rii:
         elif len(tids) > max(4096, self._n // 2):
             mask = np.zeros(dc["cap"], dtype=bool)
             mask[np.clip(tids, 0, dc["cap"] - 1)] = True
-            if use_pallas_replica:
+            if "decoded_i8" in dc:
+                from rii_tpu.ops.pallas_scan import replica_i8_scan_topk
+                norms_col = np.asarray(dc["norms_flat"]).copy()
+                norms_col[~mask] = np.inf
+                d, i = replica_i8_scan_topk(
+                    qd, dc["decoded_i8"], dc["i8_scales"],
+                    jnp.asarray(norms_col[:, None]), dc["codes_flat"],
+                    dc["codewords"], topk=topk, blk=min(1024, dc["cap"]),
+                    recall_target=rt)
+            elif use_pallas_replica:
                 norms_col = np.asarray(dc["norms_flat"]).copy()
                 norms_col[~mask] = np.inf
                 d, i = replica_scan_topk(qd, decoded,
@@ -484,17 +500,40 @@ class Rii:
         self._dc = None
 
     def _use_decoded_cache(self, cap):
+        return self._resolve_scan_mode(cap) == "bf16"
+
+    def _resolve_scan_mode(self, cap):
+        """Resolve scan_mode ('auto'|'pq'|'bf16'|'int8') to a concrete mode.
+
+        bf16: decoded replica (+cap*D*2 bytes), fastest, exact-ADC distances.
+        int8: quantized replica (+cap*D bytes), int8 MXU scan with exact
+              top-k rescoring; needs the Pallas path (accelerator).
+        pq:   uint8 codes only.
+        """
         mode = getattr(self, "scan_mode", "auto")
         if mode == "pq":
-            return False
+            return "pq"
+        import jax
+        on_accel = jax.default_backend() != "cpu"
         d = self.M * self.fine_quantizer.Ds
-        fits = cap * d * 2 <= getattr(self, "decoded_cache_budget", 2 << 30)
+        budget = getattr(self, "decoded_cache_budget", 2 << 30)
+        fits_bf16 = cap * d * 2 <= budget
+        fits_i8 = cap * d <= budget
         if mode == "bf16":
-            return fits
+            return "bf16" if fits_bf16 else "pq"
+        if mode == "int8":
+            if fits_i8 and self._use_pallas_scan():
+                return "int8"
+            return "bf16" if fits_bf16 else "pq"
         # auto: replica only pays off on accelerators (XLA:CPU handles the
         # one-hot decode fine; on TPU it would materialize huge intermediates)
-        import jax
-        return fits and jax.default_backend() in ("tpu", "gpu", "axon")
+        if not on_accel:
+            return "pq"
+        if fits_bf16:
+            return "bf16"
+        if fits_i8 and self._use_pallas_scan():
+            return "int8"
+        return "pq"
 
     def _use_pallas_scan(self):
         """Fused uint8 Pallas scan: the pq-mode fast path on accelerators.
@@ -548,8 +587,15 @@ class Rii:
             "codes_flat": jnp.asarray(codes_flat),
             "norms_flat": jnp.asarray(norms_flat),
         }
-        if self._use_decoded_cache(cap):
+        resolved = self._resolve_scan_mode(cap)
+        dc["mode"] = resolved
+        if resolved == "bf16":
             dc["decoded_flat"] = build_decoded_cache(dc["codes_flat"], dc["codewords"])
+        elif resolved == "int8":
+            from rii_tpu.ops.pallas_scan import quantize_replica_i8
+            decoded = build_decoded_cache(dc["codes_flat"], dc["codewords"])
+            dc["decoded_i8"], dc["i8_scales"] = quantize_replica_i8(decoded)
+            del decoded
         elif self._use_pallas_scan():
             # memory-lean TPU path: fused Pallas scan over uint8 codes
             # (cap is a power of two >= 1024, so divisible by the 1024 block)

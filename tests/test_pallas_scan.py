@@ -108,6 +108,29 @@ def test_replica_scan_matches_pq_scan():
                                atol=2e-2)
 
 
+def test_i8_replica_scan_rescored_matches_exact():
+    from rii_tpu.ops.pallas_scan import (
+        replica_i8_scan_topk, quantize_replica_i8)
+    from rii_tpu.ops.decode import build_decoded_cache
+    x, pq, codes, norms = _index()
+    queries = jnp.asarray(x[:4])
+    codes_p, norms_col, cwp = prepare_pq_scan_inputs(codes, norms, pq.codewords,
+                                                     blk=1024)
+    decoded = build_decoded_cache(codes_p, jnp.asarray(pq.codewords), block=1024)
+    dec_i8, scales = quantize_replica_i8(decoded)
+    d_i, i_i = replica_i8_scan_topk(queries, dec_i8, scales, norms_col,
+                                    codes_p, jnp.asarray(pq.codewords),
+                                    topk=2, blk=1024, interpret=True,
+                                    recall_target=None, overfetch=4)
+    d_i, i_i = np.asarray(d_i), np.asarray(i_i)
+    # rescored top-1 must equal the exact-ADC oracle's
+    for qi in range(4):
+        s = _oracle_scores(x[qi], codes, norms, pq.codewords) + (x[qi] ** 2).sum()
+        assert i_i[qi, 0] == int(np.argmin(s)), (qi, i_i[qi], np.argmin(s))
+        np.testing.assert_allclose(d_i[qi, 0], s.min(), rtol=2e-2, atol=2e-2)
+    assert np.all(np.diff(d_i, axis=1) >= -1e-3)
+
+
 def test_padded_codewords_decode_identity():
     _, pq, codes, _ = _index(n=128)
     cwp = np.asarray(build_padded_codewords(pq.codewords), dtype=np.float32)
