@@ -55,6 +55,31 @@ def build_decoded_cache(codes, codewords, block=4096, dtype=jnp.bfloat16):
     return _build(codes, codewords, blk)
 
 
+@jax.jit
+def dtable(query, codewords):
+    """Classic ADC distance table: (M, Ks) of ||q_m - codeword_{m,k}||^2.
+
+    Parity helper for the reference's DTable (/root/reference/src/rii.h:361-373).
+    The hot paths never materialize it (they use the decoded-domain identity),
+    but it is exposed for oracles, debugging, and external consumers:
+    ADC(q, code) == dtable(q)[m, code_m] summed over m.
+    """
+    m, ks, ds = codewords.shape
+    q_sub = query.reshape(m, 1, ds)
+    diff = q_sub - codewords
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def adc_oracle(query, codes, codewords):
+    """Reference-formulation ADC distances via the dtable (slow, exact):
+    sum_m dtable[m, codes[:, m]]."""
+    m = codewords.shape[0]
+    dt = dtable(query, codewords)  # (M, Ks)
+    idx = codes.astype(jnp.int32)
+    gathered = jax.vmap(lambda mm: dt[mm][idx[:, mm]])(jnp.arange(m))
+    return jnp.sum(gathered, axis=0)
+
+
 def decode_norms(codes, codewords, precision=lax.Precision.HIGHEST):
     """||decode(code)||^2 for each code row: (B, M) -> (B,) f32.
 

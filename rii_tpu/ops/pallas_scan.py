@@ -253,8 +253,6 @@ def replica_i8_scan_topk(queries, decoded_i8, col_scales, norms_col,
     (one-hot over just Q*k rows — negligible) and re-scored in f32, so returned
     distances match the exact-ADC paths up to bf16-table rounding.
     """
-    from rii_tpu.ops.decode import onehot_decode
-
     qn = queries.shape[0]
     vmin, amin = replica_i8_scan_tile_minima(queries, decoded_i8, col_scales,
                                              norms_col, blk=blk,
@@ -262,11 +260,13 @@ def replica_i8_scan_topk(queries, decoded_i8, col_scales, norms_col,
     k_fetch = min(max(topk * overfetch, topk + 8), vmin.shape[1])
     d_a, ids_a = _merge_tile_minima(queries, vmin, amin, k_fetch, recall_target)
 
-    # exact rescore of the fetched candidates
+    # exact rescore of the fetched candidates via one-hot decode (measured
+    # faster than an XLA gather-decode on TPU, whose gather lowering is slow)
+    from rii_tpu.ops.decode import onehot_decode
     safe = jnp.maximum(ids_a, 0)
     cand_codes = jnp.take(codes, safe, axis=0)  # (Q, k_fetch, M)
     dec = onehot_decode(cand_codes.reshape(qn * k_fetch, -1),
-                        codewords).reshape(qn, k_fetch, -1)  # f32
+                        codewords).reshape(qn, k_fetch, -1)
     q = queries.astype(jnp.float32)
     cross = jnp.einsum("qkd,qd->qk", dec, q)
     norms_c = jnp.take(norms_col[:, 0], safe)

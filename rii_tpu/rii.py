@@ -37,6 +37,8 @@ from rii_tpu.ops.ivf import ivf_scan_topk, ivf_scan_topk_decoded
 from rii_tpu.ops.pallas_scan import (
     pq_scan_topk,
     prepare_pq_scan_inputs,
+    quantize_replica_i8,
+    replica_i8_scan_topk,
     replica_scan_topk,
 )
 
@@ -352,7 +354,6 @@ class Rii:
         use_pallas_replica = decoded is not None and self._use_pallas_scan()
         if tids is None:
             if "decoded_i8" in dc:
-                from rii_tpu.ops.pallas_scan import replica_i8_scan_topk
                 d, i = replica_i8_scan_topk(
                     qd, dc["decoded_i8"], dc["i8_scales"],
                     dc["norms_flat"][:, None], dc["codes_flat"],
@@ -374,11 +375,12 @@ class Rii:
                 d, i = linear_scan_topk(qd, dc["codes_flat"], dc["norms_flat"],
                                         dc["codewords"], topk=topk,
                                         block=dc["block"], recall_target=rt)
-        elif len(tids) > max(4096, self._n // 2):
+        elif len(tids) > 4096:
+            # mid/large subsets: masked full scan (flat cost ~ one scan) beats
+            # row gathers, whose XLA lowering degrades badly at 10k-100k rows
             mask = np.zeros(dc["cap"], dtype=bool)
             mask[np.clip(tids, 0, dc["cap"] - 1)] = True
             if "decoded_i8" in dc:
-                from rii_tpu.ops.pallas_scan import replica_i8_scan_topk
                 norms_col = np.asarray(dc["norms_flat"]).copy()
                 norms_col[~mask] = np.inf
                 d, i = replica_i8_scan_topk(
@@ -478,7 +480,19 @@ class Rii:
         return min((topk // avglen + 1) * avglen, self._n)
 
     def _use_linear(self, len_target_ids, L):
-        return len_target_ids <= self.threshold(L)
+        if len_target_ids <= self.threshold(L):
+            return True
+        # TPU cost-model guard (what the reference's *measured* calibration
+        # would discover): the masked linear scan streams all N rows through
+        # the MXU, while the ivf path gathers ~w*cap_max candidate rows per
+        # query — and w = round(L*nlist/|S|)+3 explodes for subsets, with a
+        # gathered row costing ~8x a streamed one. Prefer linear when the ivf
+        # candidate work is not clearly smaller than one full scan.
+        w = self._probe_width(L, None if len_target_ids >= self._n else len_target_ids)
+        cap_max = self.L0 * 2 if self.L0 else 1
+        if self._dc is not None and "cap_max" in self._dc:
+            cap_max = self._dc["cap_max"]
+        return w * cap_max * 8 >= self._n
 
     def _resolve_update_posting_lists_flag(self, flag):
         assert flag in ("auto", True, False)
@@ -592,7 +606,6 @@ class Rii:
         if resolved == "bf16":
             dc["decoded_flat"] = build_decoded_cache(dc["codes_flat"], dc["codewords"])
         elif resolved == "int8":
-            from rii_tpu.ops.pallas_scan import quantize_replica_i8
             decoded = build_decoded_cache(dc["codes_flat"], dc["codewords"])
             dc["decoded_i8"], dc["i8_scales"] = quantize_replica_i8(decoded)
             del decoded

@@ -43,6 +43,19 @@ def test_sharded_rii_decoded_replica():
     assert (ids_s == ids_e).mean() > 0.8
 
 
+def test_sharded_rii_deep1b_shape():
+    """BASELINE config 5 shape (Deep1B: D=96), scaled down, on the 8-dev mesh."""
+    X = np.random.RandomState(13).random((4096, 96)).astype(np.float32)
+    e = Rii(fine_quantizer=PQ(M=24, Ks=64).fit(X[:2000]))
+    e.add_configure(X, nlist=64)
+    s = ShardedRii(e)
+    ids_s, d_s = s.query_batch(X[:8], topk=10)
+    ids_e, d_e = e.query_batch(X[:8], topk=10, method="linear")
+    np.testing.assert_allclose(d_s, d_e, rtol=1e-3, atol=1e-3)
+    assert (ids_s == ids_e).mean() > 0.95
+    assert ids_s[0, 0] == 0
+
+
 def test_sharded_rii_small_mesh():
     e, X = _engine(n=500)
     s = ShardedRii(e, mesh=make_mesh(2))

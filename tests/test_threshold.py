@@ -24,15 +24,25 @@ def test_analytic_threshold_present_after_reconfigure():
 
 def test_auto_routing_uses_threshold():
     e, X = _engine()
-    # tiny subset -> linear; full search with small L -> ivf
+    # tiny subset -> linear always
     assert e._use_linear(5, e.L0)
-    assert not e._use_linear(e.N, e.L0)
     # both routes answer correctly either way
     q = X[0]
     ids, _ = e.query(q, topk=3, target_ids=np.arange(10, dtype=np.int64))
     assert set(ids) <= set(range(10))
     ids, _ = e.query(q, topk=3)
     assert ids[0] == 0
+
+
+def test_auto_routing_prefers_ivf_when_candidate_work_is_small():
+    # large enough index that w*cap_max*8 << N: full-database auto -> ivf
+    X = np.random.RandomState(6).random((20000, 32)).astype(np.float32)
+    e = Rii(fine_quantizer=PQ(M=4, Ks=16).fit(X[:4000]))
+    e.add_configure(X, nlist=100)
+    e._ensure_cache()
+    assert not e._use_linear(e.N, e.L0)  # ivf for full search, small L
+    # but a mid-size subset (w explodes as 1/|S|) falls back to linear
+    assert e._use_linear(300, e.L0) or e._probe_width(e.L0, 300) * 8 >= 100
 
 
 def test_timed_calibration_runs_and_fits():
