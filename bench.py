@@ -107,47 +107,56 @@ def main():
     dc = e._ensure_cache()
     from rii_tpu.ops.scan import linear_scan_topk, linear_scan_topk_decoded
 
-    # measure the python-call + tiny-D2H round-trip cost so it can be subtracted
-    tiny = jax.jit(lambda a: a + 1.0)
-    _ = np.asarray(tiny(jnp.zeros(8)))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        _ = np.asarray(tiny(jnp.zeros(8)))
-    rtt = (time.perf_counter() - t0) / 5
-    log(f"dispatch+D2H RTT: {rtt*1e3:.2f} ms")
-
-    R = 16
-    qr = jnp.asarray(np.stack([queries] * R))  # (R, Q, D)
+    # Dispatch/D2H overhead on the tunneled backend (~20-50ms, noisy) is removed
+    # by DIFFERENCING two repetition counts of ONE jitted fori_loop with a
+    # RUNTIME trip count (one compile, any R): the per-call constant cancels in
+    # (t(R2) - t(R1)) / (R2 - R1), and R2 is auto-scaled until the difference
+    # dwarfs tunnel jitter. The loop carry feeds back into the query (x * 1e-30)
+    # so XLA can neither hoist the scan out of the loop nor CSE iterations.
+    qd_bench = jnp.asarray(queries)
 
     rt = e.topk_recall
     if "decoded_flat" in dc:
         from rii_tpu.ops.pallas_scan import replica_scan_topk
 
-        @jax.jit
-        def loop(qr_, decoded, norms):
-            def f(qb):
-                return replica_scan_topk(qb, decoded, norms[:, None],
-                                         topk=topk, blk=1024, recall_target=rt)
-            d_all, i_all = lax.map(f, qr_)
-            return d_all[:, 0, 0]  # tiny result forces full execution
+        def scan_once(qb, decoded, norms):
+            d, _ = replica_scan_topk(qb, decoded, norms[:, None],
+                                     topk=topk, blk=1024, recall_target=rt)
+            return d[0, 0]
 
-        args = (qr, dc["decoded_flat"], dc["norms_flat"])
+        args = (dc["decoded_flat"], dc["norms_flat"])
     else:
-        @jax.jit
-        def loop(qr_, codes, norms, codewords):
-            def f(qb):
-                return linear_scan_topk(
-                    qb, codes, norms, codewords,
-                    topk=topk, block=dc["block"], recall_target=rt)
-            d_all, i_all = lax.map(f, qr_)
-            return d_all[:, 0, 0]
+        def scan_once(qb, codes, norms, codewords):
+            d, _ = linear_scan_topk(qb, codes, norms, codewords,
+                                    topk=topk, block=dc["block"],
+                                    recall_target=rt)
+            return d[0, 0]
 
-        args = (qr, dc["codes_flat"], dc["norms_flat"], dc["codewords"])
+        args = (dc["codes_flat"], dc["norms_flat"], dc["codewords"])
 
-    _ = np.asarray(loop(*args))  # compile
-    t0 = time.perf_counter()
-    _ = np.asarray(loop(*args))
-    dt = max(1e-9, time.perf_counter() - t0 - rtt) / R
+    @jax.jit
+    def loop(reps, qb, *rest):
+        def body(i, acc):
+            return scan_once(qb + acc * 1e-30, *rest)
+        return lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    def timed(reps):
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(loop(jnp.int32(reps), qd_bench, *args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    _ = np.asarray(loop(jnp.int32(1), qd_bench, *args))  # compile once
+    r1 = 4
+    t_r1 = timed(r1)
+    r2, t_r2 = r1, t_r1
+    while t_r2 < t_r1 + 0.25 and r2 < 1 << 16:  # grow until diff >> jitter
+        r2 *= 4
+        t_r2 = timed(r2)
+    dt = max(1e-9, (t_r2 - t_r1) / max(1, r2 - r1))
+    log(f"timing: R1={r1} t1={t_r1*1e3:.1f}ms R2={r2} t2={t_r2*1e3:.1f}ms")
     ms_per_query = dt / Q * 1e3
     qps = Q / dt
     log(f"device-resident scan: {dt*1e3:.2f} ms/batch, {ms_per_query:.4f} ms/query, "
