@@ -176,7 +176,45 @@ def main():
     t0 = time.perf_counter()
     e.query_batch(qiv, topk=topk, L=L, method="ivf")
     t_ivf = (time.perf_counter() - t0) / len(qiv) * 1e3
-    log(f"ivf (L={L}): {t_ivf:.4f} ms/query")
+    log(f"ivf (L={L}): {t_ivf:.4f} ms/query incl dispatch")
+
+    if "decoded_g" in dc:
+        # device-resident union-bucket ivf (same differenced-loop methodology)
+        from rii_tpu.ops.ivf import ivf_union_scan_topk
+
+        wv = e._probe_width_virtual(L, None, dc)
+        qiv_d = jnp.asarray(qiv)
+
+        @jax.jit
+        def ivf_loop(reps, qb, dec_g, nrm_g, ord_g, cdec, cnrm):
+            def body(i, acc):
+                dd, _ = ivf_union_scan_topk(
+                    qb + acc * 1e-30, dec_g, nrm_g, ord_g, cdec, cnrm,
+                    w=wv, topk=topk, cap_u=dc["cap_v"],
+                    nlist_pad=dc["nlist_v_pad"], recall_target=rt)
+                return dd[0, 0]
+            return lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+        ivf_args = (qiv_d, dc["decoded_g"], dc["norms_g"], dc["order_g"],
+                    dc["centers_dec_v"], dc["centers_norms_v"])
+
+        def ivf_timed(reps):
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _ = np.asarray(ivf_loop(jnp.int32(reps), *ivf_args))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        _ = np.asarray(ivf_loop(jnp.int32(1), *ivf_args))
+        ti1 = ivf_timed(4)
+        ri2, ti2 = 4, ti1
+        while ti2 < ti1 + 0.25 and ri2 < 1 << 14:
+            ri2 *= 4
+            ti2 = ivf_timed(ri2)
+        dt_ivf = max(1e-9, (ti2 - ti1) / max(1, ri2 - 4))
+        log(f"ivf device-resident (L={L}, wv={wv}): "
+            f"{dt_ivf/len(qiv)*1e6:.2f} us/query, {len(qiv)/dt_ivf:.0f} QPS")
 
     baseline_qps = 1.0 / 0.21e-3  # 0.21 ms/query, README.md:140
     print(json.dumps({

@@ -85,6 +85,65 @@ def build_grouped_layout(codes, norms, assignments, nlist):
     }
 
 
+def build_virtual_layout(codes, norms, assignments, nlist, cap_v=256, pad_to=8):
+    """Balanced virtual-bucket layout for the union-bucket IVF scan.
+
+    Each real bucket b (reference posting list, /root/reference/src/rii.h:81-82)
+    is split into ceil(len_b / cap_v) VIRTUAL buckets of at most cap_v members;
+    virtual bucket v owns the contiguous slice [v*cap_v, (v+1)*cap_v) of the
+    grouped arrays and inherits its real bucket's coarse center (`vreal[v]`).
+    Probing is done over virtual buckets with the probe-width formula scaled by
+    nlist_v, so the candidate budget ~L is preserved while every DMA window has
+    ONE static size — bucket-size skew costs at most cap_v-1 padding slots per
+    real bucket instead of inflating every window to the max bucket length.
+
+    Returns dict: order (total,) int32 (-1 pad), codes_grouped (total, M) u8,
+    norms_grouped (total,) f32 (+inf pad), vreal (nlist_v_pad,) int32 real
+    bucket per virtual bucket (-1 pad), cap_v, nlist_v, nlist_v_pad, total.
+    """
+    m = codes.shape[1] if codes.ndim == 2 else 0
+    assignments = np.asarray(assignments, dtype=np.int64)
+    in_bucket = assignments >= 0
+    counts = np.bincount(assignments[in_bucket], minlength=nlist)
+    chunks = np.maximum(1, -(-counts // cap_v))  # >=1 so every center is probeable
+    nlist_v = int(chunks.sum())
+    nlist_v_pad = -(-max(nlist_v, 1) // pad_to) * pad_to
+    total = nlist_v_pad * cap_v
+
+    vreal = np.full(nlist_v_pad, -1, dtype=np.int32)
+    vstart = np.zeros(nlist + 1, dtype=np.int64)  # first virtual bucket of b
+    vstart[1:] = np.cumsum(chunks)
+    for b in range(nlist):
+        vreal[vstart[b]:vstart[b + 1]] = b
+
+    order = np.full(total, -1, dtype=np.int32)
+    ids = np.nonzero(in_bucket)[0]
+    # stable sort keeps ids ascending within each bucket (reference push_back
+    # order, /root/reference/src/rii.h:356-358)
+    sorted_ids = ids[np.argsort(assignments[ids], kind="stable")]
+    if ids.size:
+        dst = np.concatenate([
+            vstart[b] * cap_v + np.arange(counts[b]) for b in range(nlist)
+        ]).astype(np.int64)
+        order[dst] = sorted_ids.astype(np.int32)
+
+    codes_grouped = np.zeros((total, m), dtype=np.uint8)
+    norms_grouped = np.full(total, np.inf, dtype=np.float32)
+    valid = order >= 0
+    codes_grouped[valid] = codes[order[valid]]
+    norms_grouped[valid] = norms[order[valid]]
+    return {
+        "order": order,
+        "codes_grouped": codes_grouped,
+        "norms_grouped": norms_grouped,
+        "vreal": vreal,
+        "cap_v": cap_v,
+        "nlist_v": nlist_v,
+        "nlist_v_pad": nlist_v_pad,
+        "total": total,
+    }
+
+
 def posting_lists_from_assignments(assignments, nlist):
     """Materialize reference-style posting lists (list of ascending-id lists)."""
     assignments = np.asarray(assignments)

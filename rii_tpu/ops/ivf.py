@@ -32,6 +32,113 @@ def _searchsorted_member(sorted_ids, n_valid, values):
     return (jnp.take(sorted_ids, pos) == values) & (pos < n_valid)
 
 
+@partial(jax.jit, static_argnames=("w", "topk", "cap_u", "nlist_pad",
+                                   "recall_target"))
+def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
+                        centers_norms, w, topk, cap_u, nlist_pad,
+                        target_mask=None, recall_target=None):
+    """Batched IVF probe via the UNION of the batch's probed buckets.
+
+    The TPU-native replacement for the reference's per-query posting-list walk
+    (/root/reference/src/rii.h:244-326): instead of gathering candidate rows
+    per query (random HBM access), the batch's w-nearest buckets are deduped
+    into one sorted union and every union bucket — a contiguous (cap_u, D)
+    block of the uniform grouped replica — is scored against ALL queries with
+    one batched MXU GEMM. Large contiguous DMAs, shared across the batch.
+
+    Semantics vs the reference: each query's candidate set is the union of
+    every bucket probed by ANY query in the batch (a superset of its own w
+    probes), so recall >= the reference's at equal w/L. Distances are exact
+    ADC (bf16 cross term). Duplicate union slots are masked so returned ids
+    are unique.
+
+    Args:
+        queries: (Q, D) f32.
+        decoded_g: (nlist_pad * cap_u, D) bf16 uniform grouped replica
+            (models/ivf.py::build_uniform_layout).
+        norms_g: (nlist_pad * cap_u,) f32, +inf on padding slots.
+        order_g: (nlist_pad * cap_u,) int32 original ids, -1 on padding.
+        centers_dec/centers_norms: (nlist_pad, D)/(nlist_pad,) decoded coarse
+            centers, +inf norms on padded clusters.
+        w: static probe width per query.
+        cap_u/nlist_pad: static layout constants.
+        target_mask: optional (nlist_pad * cap_u,) bool — False slots excluded
+            (the subset-search filter, already mapped to grouped slots).
+
+    Returns (dists (Q, topk) f32 ascending, ids (Q, topk) int32, -1 padded).
+    """
+    q_all = queries.astype(jnp.float32)
+    qn = q_all.shape[0]
+    d = q_all.shape[1]
+    q16 = q_all.astype(jnp.bfloat16)
+
+    if target_mask is not None:
+        norms_g = jnp.where(target_mask, norms_g, jnp.inf)
+
+    # (1) coarse scoring + probe selection: one GEMM for the whole batch.
+    cscores = centers_norms[None, :] - 2.0 * jnp.dot(
+        q16, centers_dec.T.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32)
+    _, probe = lax.top_k(-cscores, w)  # (Q, w)
+
+    # (2) sorted, dup-masked union of probed buckets.
+    if qn * w >= nlist_pad:
+        u = nlist_pad
+        flat = jnp.arange(nlist_pad, dtype=jnp.int32)
+        dup = jnp.zeros((nlist_pad,), dtype=bool)
+    else:
+        u = qn * w
+        flat = jnp.sort(probe.astype(jnp.int32).reshape(-1))
+        dup = jnp.concatenate(
+            [jnp.zeros((1,), bool), flat[1:] == flat[:-1]])
+
+    # (3) chunked bucket-window scoring: gather whole buckets (contiguous
+    # (cap_u, D) blocks) and run one (Uc*cap_u, D) x (D, Q) MXU GEMM per chunk.
+    # Chunk size bounds the (Uc, cap_u, Q) f32 score transient to ~64 MB.
+    uc = max(1, min(u, (1 << 24) // max(1, cap_u * qn)))
+    n_chunks = -(-u // uc)
+    pad = n_chunks * uc - u
+    if pad:
+        flat = jnp.pad(flat, (0, pad), constant_values=nlist_pad - 1)
+        dup = jnp.pad(dup, (0, pad), constant_values=True)
+
+    dec3 = decoded_g.reshape(nlist_pad, cap_u, d)
+    norms2 = norms_g.reshape(nlist_pad, cap_u)
+    k_eff = min(topk, uc * cap_u)
+
+    def chunk_fn(args):
+        fl, dp = args  # (uc,), (uc,)
+        wins = jnp.take(dec3, fl, axis=0)  # (uc, cap_u, D) contiguous blocks
+        nrm = jnp.take(norms2, fl, axis=0)  # (uc, cap_u)
+        nrm = jnp.where(dp[:, None], jnp.inf, nrm)
+        cross = jax.lax.dot_general(
+            wins.reshape(uc * cap_u, d), q16.T,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (uc*cap_u, Q)
+        s = nrm.reshape(-1)[:, None] - 2.0 * cross  # (uc*cap_u, Q)
+        neg, pos = _select_topk(-s.T, k_eff, recall_target)  # (Q, k_eff)
+        slot = fl[pos // cap_u] * cap_u + (pos % cap_u)  # global grouped slot
+        return neg, slot
+
+    negs, slots = lax.map(chunk_fn, (flat.reshape(n_chunks, uc),
+                                     dup.reshape(n_chunks, uc)))
+    negs = jnp.swapaxes(negs, 0, 1).reshape(qn, n_chunks * k_eff)
+    slots = jnp.swapaxes(slots, 0, 1).reshape(qn, n_chunks * k_eff)
+    neg_top, pos = lax.top_k(negs, min(topk, n_chunks * k_eff))
+    slot_top = jnp.take_along_axis(slots, pos, axis=1)
+    ids = jnp.take(order_g, slot_top)
+    qsq = jnp.sum(q_all * q_all, axis=-1)
+    dists = -neg_top + qsq[:, None]
+    kk = dists.shape[1]
+    if kk < topk:
+        dists = jnp.concatenate(
+            [dists, jnp.full((qn, topk - kk), jnp.inf)], axis=1)
+        ids = jnp.concatenate(
+            [ids, jnp.full((qn, topk - kk), -1, ids.dtype)], axis=1)
+    ids = jnp.where(jnp.isfinite(dists), ids, -1)
+    return dists, ids
+
+
 @partial(jax.jit, static_argnames=("w", "topk", "cap_max", "chunk", "precision",
                                    "recall_target"))
 def ivf_scan_topk_decoded(queries, decoded, centers_dec, centers_norms,

@@ -19,8 +19,16 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from rii_tpu.ops.decode import build_decoded_cache
+from rii_tpu.ops.ivf import ivf_union_scan_topk
 from rii_tpu.ops.scan import linear_scan_topk, linear_scan_topk_decoded
 from rii_tpu.parallel.mesh import make_mesh, DATA_AXIS
+
+
+def _pow2(n):
+    v = 1
+    while v < n:
+        v *= 2
+    return v
 
 
 def init_distributed(**kwargs):
@@ -82,6 +90,37 @@ class ShardedRii:
                 out_shardings=sh)(self.codes, self.codewords, block=self.block)
         self._scan_cache = {}
 
+        # sharded IVF over the balanced virtual-bucket layout: each shard owns
+        # a contiguous range of virtual windows + their (replicated-center
+        # derived) coarse rows; probing is per-shard local (see query_ivf_batch)
+        self.ivf = None
+        if use_decoded and engine.nlist > 0:
+            from rii_tpu.models.ivf import build_virtual_layout
+            ul = build_virtual_layout(codes, norms, engine._assignments(),
+                                      engine.nlist, pad_to=8 * self.ndev)
+            centers_dec = np.asarray(
+                engine._ensure_cache()["centers_dec"], np.float32)
+            cn = (centers_dec ** 2).sum(axis=1)
+            vreal = ul["vreal"]
+            cdv = centers_dec[np.clip(vreal, 0, centers_dec.shape[0] - 1)]
+            cnv = np.where(vreal >= 0,
+                           cn[np.clip(vreal, 0, cn.shape[0] - 1)],
+                           np.inf).astype(np.float32)
+            codes_g = jax.device_put(ul["codes_grouped"], sh)
+            self.ivf = {
+                "cap_v": ul["cap_v"],
+                "nlist_v": ul["nlist_v"],
+                "nlist_v_pad": ul["nlist_v_pad"],
+                "order_g": jax.device_put(ul["order"], sh1),
+                "norms_g": jax.device_put(ul["norms_grouped"], sh1),
+                "centers_dec_v": jax.device_put(cdv, sh),
+                "centers_norms_v": jax.device_put(cnv, sh1),
+                "decoded_g": jax.jit(
+                    build_decoded_cache, static_argnames=("block",),
+                    out_shardings=sh)(codes_g, self.codewords,
+                                      block=ul["cap_v"]),
+            }
+
     def _scan_fn(self, topk):
         key = (topk, self.decoded is not None)
         if key in self._scan_cache:
@@ -120,6 +159,71 @@ class ShardedRii:
         ))
         self._scan_cache[key] = fn
         return fn
+
+    def _ivf_fn(self, topk, wv_local):
+        key = ("ivf", topk, wv_local)
+        if key in self._scan_cache:
+            return self._scan_cache[key]
+        iv = self.ivf
+        nv_l = iv["nlist_v_pad"] // self.ndev
+        cap_v = iv["cap_v"]
+        rt = self.topk_recall
+
+        def _local(queries, dec_l, norms_l, order_l, cdec_l, cnorm_l):
+            # per-shard local probing + union scan over the shard's windows;
+            # order_l already holds ORIGINAL (global) ids, so no offset needed
+            d_l, i_l = ivf_union_scan_topk(
+                queries, dec_l, norms_l, order_l, cdec_l, cnorm_l,
+                w=min(wv_local, nv_l), topk=topk, cap_u=cap_v,
+                nlist_pad=nv_l, recall_target=rt)
+            d_all = lax.all_gather(d_l, DATA_AXIS)  # (ndev, Q, k)
+            g_all = lax.all_gather(i_l, DATA_AXIS)
+            qn = queries.shape[0]
+            d_flat = jnp.swapaxes(d_all, 0, 1).reshape(qn, self.ndev * topk)
+            g_flat = jnp.swapaxes(g_all, 0, 1).reshape(qn, self.ndev * topk)
+            neg, pos = lax.top_k(-d_flat, topk)
+            ids = jnp.take_along_axis(g_flat, pos, axis=1)
+            ids = jnp.where(jnp.isfinite(-neg), ids, -1)
+            return -neg, ids
+
+        fn = jax.jit(shard_map(
+            _local,
+            mesh=self.mesh,
+            in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
+                      P(DATA_AXIS, None), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+        self._scan_cache[key] = fn
+        return fn
+
+    def query_ivf_batch(self, queries, topk=1, L=None):
+        """Sharded IVF probe: each shard probes its own wv/ndev nearest local
+        windows (2x slack for probe-ownership imbalance), then exact merge.
+
+        The global candidate set is the union of per-shard local tops — with
+        balanced virtual windows this covers the global top-wv with high
+        probability; distances are exact, the merge is exact.
+        """
+        assert self.ivf is not None, \
+            "IVF requires use_decoded=True and a reconfigured engine"
+        queries = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
+        from rii_tpu.models.opq import OPQ
+        if isinstance(self.engine.fine_quantizer, OPQ):
+            queries = self.engine.fine_quantizer.rotate(queries)
+        e = self.engine
+        iv = self.ivf
+        if L is None:
+            L = e._multiple_of_L0_covering_topk(topk=topk)
+        slack = 3 * max(1, -(-iv["nlist_v"] // max(1, e.nlist)))
+        wv = int(np.round(float(L) * iv["nlist_v"] / max(1, e.N))) + slack
+        nv_l = iv["nlist_v_pad"] // self.ndev
+        wv_local = min(nv_l, max(1, _pow2(-(-wv // self.ndev) * 2)))
+        d, i = self._ivf_fn(topk, wv_local)(
+            jnp.asarray(queries), iv["decoded_g"], iv["norms_g"],
+            iv["order_g"], iv["centers_dec_v"], iv["centers_norms_v"])
+        return (np.asarray(i).astype(np.int64),
+                np.asarray(d).astype(np.float64))
 
     def query_batch(self, queries, topk=1):
         """Exact ADC scan over all shards; returns (ids int64, dists float64)."""

@@ -23,6 +23,7 @@ from rii_tpu.models.opq import OPQ
 from rii_tpu.models.pqkmeans import pqkmeans_fit, pqkmeans_predict
 from rii_tpu.models.ivf import (
     build_grouped_layout,
+    build_virtual_layout,
     code_norms_np,
     posting_lists_from_assignments,
 )
@@ -33,7 +34,11 @@ from rii_tpu.ops.scan import (
     subset_scan_topk,
     subset_scan_topk_decoded,
 )
-from rii_tpu.ops.ivf import ivf_scan_topk, ivf_scan_topk_decoded
+from rii_tpu.ops.ivf import (
+    ivf_scan_topk,
+    ivf_scan_topk_decoded,
+    ivf_union_scan_topk,
+)
 from rii_tpu.ops.pallas_scan import (
     pq_scan_topk,
     prepare_pq_scan_inputs,
@@ -435,6 +440,14 @@ class Rii:
         w = int(np.round(float(L) * nlist / denom)) + 3
         return min(nlist, _pow2_at_least(max(1, w)))
 
+    def _probe_width_virtual(self, L, s, dc):
+        """Virtual-bucket probe width with the reference's candidate budget
+        (see _query_ivf_batch), pow2-rounded up to bound the jit cache."""
+        denom = self._n if s is None else s
+        slack = 3 * max(1, -(-dc["nlist_v"] // max(1, self.nlist)))
+        wv = int(np.round(float(L) * dc["nlist_v"] / denom)) + slack
+        return min(dc["nlist_v_pad"], _pow2_at_least(max(1, wv)))
+
     def _query_ivf_batch(self, queries, topk, tids, L, force_full=False):
         dc = self._ensure_cache()
         qp, qn = _pad_queries(queries)
@@ -449,7 +462,31 @@ class Rii:
             tids_pad[:s] = tids  # sorted; pad with +inf-like sentinel keeps order
             kwargs = dict(target_ids=jnp.asarray(tids_pad), n_targets=jnp.int32(s))
         rt = getattr(self, "topk_recall", None)
-        if "decoded_flat" in dc:
+        probe_full = w >= self.nlist
+        if "decoded_g" in dc:
+            # union-bucket batched probe over the balanced virtual-bucket
+            # replica: windows DMA'd contiguously, scored for the batch in one
+            # MXU GEMM (ops/ivf.py::ivf_union_scan_topk). Probe width is in
+            # VIRTUAL buckets, matching the reference's candidate budget:
+            # its w = round(L*nlist/N_or_S)+3 full lists scan ~ (L*N/S + 3*L0)
+            # members (src/rii.h:267-277), so the +3-list slack becomes
+            # +3*avg_chunks windows here.
+            wv = self._probe_width_virtual(L, s, dc)
+            if force_full:
+                wv = dc["nlist_v_pad"]
+            probe_full = wv >= dc["nlist_v"]
+            tm = None
+            if tids is not None:
+                mask = np.zeros(dc["cap"], dtype=bool)
+                mask[np.clip(tids, 0, dc["cap"] - 1)] = True
+                tm = jnp.take(jnp.asarray(mask),
+                              jnp.clip(dc["order_g"], 0, dc["cap"] - 1))
+            d, i = ivf_union_scan_topk(
+                qd, dc["decoded_g"], dc["norms_g"], dc["order_g"],
+                dc["centers_dec_v"], dc["centers_norms_v"], w=wv, topk=topk,
+                cap_u=dc["cap_v"], nlist_pad=dc["nlist_v_pad"],
+                target_mask=tm, recall_target=rt)
+        elif "decoded_flat" in dc:
             # fully query-batched probe over the bf16 replica
             d, i = ivf_scan_topk_decoded(
                 qd, dc["decoded_flat"], dc["centers_dec"], dc["centers_norms"],
@@ -467,7 +504,7 @@ class Rii:
         # If probing w clusters found fewer than topk eligible candidates, widen
         # to full coverage (the reference keeps walking lists until L candidates;
         # full coverage is the SPMD-deterministic superset of that behavior).
-        if not force_full and w < self.nlist and not np.isfinite(d).all():
+        if not force_full and not probe_full and not np.isfinite(d).all():
             return self._query_ivf_batch(queries, topk, tids, L, force_full=True)
         return i, d
 
@@ -640,6 +677,32 @@ class Rii:
                 "centers_dec": jnp.asarray(centers_dec),
                 "centers_norms": jnp.asarray(centers_norms),
             })
+            if resolved == "bf16":
+                # balanced virtual-bucket replica for the union-bucket IVF
+                # scan: big buckets split into cap_v-slot windows, each window
+                # a contiguous DMA, probe width scaled by nlist_v. Gate: fits
+                # the decoded-cache budget (inflation is bounded ~N + nlist*cap_v).
+                ul = build_virtual_layout(codes, norms, self._assignments(),
+                                          nlist)
+                d_dim = self.M * cw.shape[2]
+                if ul["total"] * d_dim * 2 <= self.decoded_cache_budget:
+                    codes_g = jnp.asarray(ul["codes_grouped"])
+                    vreal = ul["vreal"]
+                    cdv = centers_dec[np.clip(vreal, 0, nlist_pad - 1)]
+                    cnv = np.where(vreal >= 0, centers_norms[
+                        np.clip(vreal, 0, nlist_pad - 1)], np.inf)
+                    blk_g = 2048 if ul["total"] % 2048 == 0 else ul["cap_v"]
+                    dc.update({
+                        "cap_v": ul["cap_v"],
+                        "nlist_v": ul["nlist_v"],
+                        "nlist_v_pad": ul["nlist_v_pad"],
+                        "order_g": jnp.asarray(ul["order"]),
+                        "norms_g": jnp.asarray(ul["norms_grouped"]),
+                        "centers_dec_v": jnp.asarray(cdv),
+                        "centers_norms_v": jnp.asarray(cnv.astype(np.float32)),
+                        "decoded_g": build_decoded_cache(
+                            codes_g, dc["codewords"], block=blk_g),
+                    })
         self._dc = dc
         return dc
 

@@ -1,0 +1,128 @@
+"""Union-bucket batched IVF scan (ops/ivf.py::ivf_union_scan_topk) on the
+uniform grouped replica layout (models/ivf.py::build_uniform_layout).
+
+Runs on CPU with scan_mode forced to "bf16" so the union path (TPU default)
+is exercised; selection is exact on CPU (approx_max_k lowers to a sort).
+"""
+
+import numpy as np
+import pytest
+
+from rii_tpu import PQ, Rii
+from rii_tpu.models.ivf import build_virtual_layout, code_norms_np
+
+
+@pytest.fixture(scope="module")
+def engine():
+    rng = np.random.RandomState(42)
+    N, D = 4000, 32
+    X = rng.random((N, D)).astype(np.float32)
+    pq = PQ(M=4, Ks=32, verbose=False).fit(X[:1000], iter=3)
+    e = Rii(pq)
+    e.scan_mode = "bf16"
+    e.add_configure(X, nlist=60, iter=3)
+    return e, X
+
+
+def test_virtual_layout_invariants(engine):
+    e, X = engine
+    codes = e.codes
+    norms = code_norms_np(e.codewords, codes)
+    assign = e._assignments()
+    ul = build_virtual_layout(codes, norms, assign, e.nlist, cap_v=64)
+    order = ul["order"]
+    cap_v = ul["cap_v"]
+    vreal = ul["vreal"]
+    assert ul["total"] == ul["nlist_v_pad"] * cap_v
+    # every id appears exactly once
+    valid = order[order >= 0]
+    assert sorted(valid.tolist()) == list(range(e.N))
+    # every virtual bucket's members belong to its real bucket, ascending;
+    # a real bucket's members are contiguous across its consecutive chunks
+    for v in range(ul["nlist_v"]):
+        seg = order[v * cap_v:(v + 1) * cap_v]
+        members = seg[seg >= 0]
+        if len(members):
+            assert (assign[members] == vreal[v]).all()
+        if len(members) > 1:
+            assert (np.diff(members) > 0).all()
+    counts = np.bincount(assign[assign >= 0], minlength=e.nlist)
+    expect_chunks = np.maximum(1, -(-counts // cap_v))
+    assert ul["nlist_v"] == int(expect_chunks.sum())
+    # padding slots are masked with +inf norms; padded virtual buckets have
+    # vreal == -1
+    assert np.isinf(ul["norms_grouped"][order < 0]).all()
+    assert (vreal[ul["nlist_v"]:] == -1).all()
+
+
+def test_union_path_active(engine):
+    e, _ = engine
+    dc = e._ensure_cache()
+    assert "decoded_g" in dc and "order_g" in dc and "norms_g" in dc
+
+
+def test_ivf_full_L_matches_linear(engine):
+    e, X = engine
+    q = X[11]
+    ids_l, d_l = e.query(q, topk=10, method="linear")
+    ids_i, d_i = e.query(q, topk=10, L=e.N, method="ivf")
+    assert set(ids_i.tolist()) == set(ids_l.tolist())
+    np.testing.assert_allclose(np.sort(d_i), np.sort(d_l), rtol=1e-5)
+
+
+def test_ivf_batch_contracts(engine):
+    e, X = engine
+    rng = np.random.RandomState(7)
+    qs = X[rng.choice(e.N, 9, replace=False)]  # odd batch -> padding path
+    ids, dists = e.query_batch(qs, topk=7, method="ivf")
+    assert ids.shape == (9, 7) and dists.shape == (9, 7)
+    assert (np.diff(dists, axis=1) >= 0).all()
+    for row in ids:
+        row = row[row >= 0]
+        assert len(set(row.tolist())) == len(row)  # no duplicate ids
+
+
+def test_ivf_duplicate_probes_no_duplicate_ids(engine):
+    """Identical queries in one batch make every union bucket a duplicate."""
+    e, X = engine
+    qs = np.stack([X[5]] * 8)
+    ids, dists = e.query_batch(qs, topk=10, method="ivf")
+    for row in ids:
+        row = row[row >= 0]
+        assert len(set(row.tolist())) == len(row)
+    # all rows identical (same query)
+    assert (ids == ids[0]).all()
+
+
+def test_ivf_subset_matches_linear_subset(engine):
+    e, X = engine
+    rng = np.random.RandomState(3)
+    tids = np.sort(rng.choice(e.N, 900, replace=False)).astype(np.int64)
+    q = X[int(tids[4])]
+    ids_i, d_i = e.query(q, topk=10, L=e.N, target_ids=tids, method="ivf")
+    ids_l, d_l = e.query(q, topk=10, target_ids=tids, method="linear")
+    assert set(ids_i.tolist()) <= set(tids.tolist())
+    assert set(ids_i.tolist()) == set(ids_l.tolist())
+
+
+def test_ivf_union_recall_superset_of_per_query(engine):
+    """Batched union probing must find at least what a solo query finds."""
+    e, X = engine
+    rng = np.random.RandomState(9)
+    pick = rng.choice(e.N, 6, replace=False)
+    qs = X[pick] + rng.normal(0, 0.005, (6, X.shape[1])).astype(np.float32)
+    d_solo = np.stack([e.query_batch(qs[i:i + 1], topk=5, method="ivf")[1][0]
+                       for i in range(6)])
+    _, d_b = e.query_batch(qs, topk=5, method="ivf")
+    # the batch scans a candidate superset of each solo query's probes, and
+    # distances are exact — so batch top-5 distances dominate elementwise
+    assert (d_b <= d_solo + 1e-4).all()
+
+
+def test_ivf_small_w_returns_valid(engine):
+    e, _ = engine
+    rng = np.random.RandomState(1)
+    qs = rng.random((4, 32)).astype(np.float32)
+    ids, dists = e.query_batch(qs, topk=3, L=e.L0, method="ivf")
+    assert (ids >= 0).all()
+    assert np.isfinite(dists).all()

@@ -94,3 +94,50 @@ def test_rii_results_consistent_with_sharded_scan():
     d_sh, i_sh = fn(jnp.asarray(q), codes_sh, norms_sh, jnp.asarray(pq.codewords))
     np.testing.assert_allclose(np.asarray(d_sh), dists_e, rtol=1e-4)
     assert (np.asarray(i_sh) == ids_e).mean() > 0.99
+
+
+def test_sharded_ivf_matches_linear_at_full_coverage():
+    rng = np.random.RandomState(11)
+    n, d = 4096, 32
+    x = rng.random((n, d)).astype(np.float32)
+    pq = PQ(M=4, Ks=16).fit(x[:1024], iter=3)
+    e = Rii(pq)
+    e.scan_mode = "bf16"
+    e.add_configure(x, nlist=48, iter=3)
+
+    from rii_tpu.parallel import ShardedRii
+    sr = ShardedRii(e, use_decoded=True)
+    assert sr.ivf is not None
+    queries = x[rng.choice(n, 8, replace=False)]
+
+    # full coverage (L=N) must reproduce the exact linear top-k id set
+    ids_l, d_l = sr.query_batch(queries, topk=10)
+    ids_i, d_i = sr.query_ivf_batch(queries, topk=10, L=n)
+    for a, b in zip(ids_l, ids_i):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(np.sort(d_i, 1), np.sort(d_l, 1), rtol=1e-4)
+
+
+def test_sharded_ivf_default_L_contracts():
+    rng = np.random.RandomState(13)
+    n, d = 4096, 32
+    x = rng.random((n, d)).astype(np.float32)
+    pq = PQ(M=4, Ks=16).fit(x[:1024], iter=3)
+    e = Rii(pq)
+    e.scan_mode = "bf16"
+    e.add_configure(x, nlist=48, iter=3)
+
+    from rii_tpu.parallel import ShardedRii
+    sr = ShardedRii(e, use_decoded=True)
+    queries = x[rng.choice(n, 4, replace=False)]
+    ids, dists = sr.query_ivf_batch(queries, topk=5)
+    assert ids.shape == (4, 5)
+    assert (np.diff(dists, axis=1) >= 0).all()
+    # at these sizes local probing covers every shard window, so the result
+    # must match the exact sharded linear scan
+    ids_l, d_l = sr.query_batch(queries, topk=5)
+    assert (ids == ids_l).mean() > 0.9  # ties may swap ids only
+    np.testing.assert_allclose(dists, d_l, rtol=1e-4)
+    for row in ids:
+        row = row[row >= 0]
+        assert len(set(row.tolist())) == len(row)
