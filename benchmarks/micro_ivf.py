@@ -107,8 +107,23 @@ def main():
         dt = timed_loop(union_once, (qd, dc["decoded_g"], dc["norms_g"],
                                      dc["order_g"], dc["centers_dec_v"],
                                      dc["centers_norms_v"]))
-        log(f"union ivf:  {dt*1e3:.3f} ms/batch, {dt/Q*1e6:.2f} us/query, "
+        log(f"union ivf (xla):    {dt*1e3:.3f} ms/batch, {dt/Q*1e6:.2f} us/query, "
             f"{Q/dt:.0f} QPS")
+
+        if jax.default_backend() != "cpu":
+            def union_pallas_once(acc, qd_, dec_g, nrm_g, ord_g, cdec, cnrm):
+                d, _ = ivf_union_scan_topk(
+                    qd_ + acc * 1e-30, dec_g, nrm_g, ord_g, cdec, cnrm,
+                    w=wv, topk=topk, cap_u=dc["cap_v"],
+                    nlist_pad=dc["nlist_v_pad"], recall_target=rt,
+                    use_pallas=True)
+                return d[0, 0]
+
+            dt = timed_loop(union_pallas_once,
+                            (qd, dc["decoded_g"], dc["norms_g"], dc["order_g"],
+                             dc["centers_dec_v"], dc["centers_norms_v"]))
+            log(f"union ivf (pallas): {dt*1e3:.3f} ms/batch, "
+                f"{dt/Q*1e6:.2f} us/query, {Q/dt:.0f} QPS")
 
     if "decoded_flat" in dc and os.environ.get("BENCH_OLD_IVF"):
         def old_once(acc, qd_, dec, cdec, cnrm, bst, nrm_gr, ordr, slc):

@@ -33,10 +33,11 @@ def _searchsorted_member(sorted_ids, n_valid, values):
 
 
 @partial(jax.jit, static_argnames=("w", "topk", "cap_u", "nlist_pad",
-                                   "recall_target"))
+                                   "recall_target", "use_pallas", "interpret"))
 def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
                         centers_norms, w, topk, cap_u, nlist_pad,
-                        target_mask=None, recall_target=None):
+                        target_mask=None, recall_target=None,
+                        use_pallas=False, interpret=False):
     """Batched IVF probe via the UNION of the batch's probed buckets.
 
     The TPU-native replacement for the reference's per-query posting-list walk
@@ -91,6 +92,57 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
         flat = jnp.sort(probe.astype(jnp.int32).reshape(-1))
         dup = jnp.concatenate(
             [jnp.zeros((1,), bool), flat[1:] == flat[:-1]])
+
+    if use_pallas and target_mask is None:
+        # fused kernel: windows streamed in place (no gather copy); per-8-slot
+        # top-2 + approx cross-tile merge + EXACT f32 rescore of the final
+        # top-k (the kernel's norms are bf16-class, and the rescore's +inf
+        # norms re-mask padding slots). On hardware, WPB windows per grid step
+        # via manual async DMA; interpret mode (CPU tests) uses the
+        # single-window auto-pipelined variant (same math).
+        from rii_tpu.ops.pallas_scan import (
+            ivf_window_tile_minima,
+            ivf_window_tile_minima_multi,
+        )
+
+        flat_i = flat.astype(jnp.int32)
+        dup_i = dup.astype(jnp.int32)
+        if interpret:
+            vmin, amin = ivf_window_tile_minima(
+                q_all, decoded_g, flat_i, dup_i, cap_v=cap_u, interpret=True)
+        else:
+            wpb = 16
+            upad = -(-flat_i.shape[0] // wpb) * wpb - flat_i.shape[0]
+            if upad:
+                flat_i = jnp.pad(flat_i, (0, upad), constant_values=0)
+                dup_i = jnp.pad(dup_i, (0, upad), constant_values=1)
+            vmin, amin = ivf_window_tile_minima_multi(
+                q_all, decoded_g, flat_i, dup_i, cap_v=cap_u, wpb=wpb)
+        k_eff = min(topk, vmin.shape[1])
+        if recall_target is None:
+            _, pos = lax.top_k(-vmin, k_eff)
+        else:
+            _, pos = lax.approx_max_k(-vmin, k_eff,
+                                      recall_target=recall_target)
+        slot_top = jnp.take_along_axis(amin, pos, axis=1)  # (Q, k_eff)
+        # exact rescore: f32 norms + f32-accumulated cross on the k_eff rows
+        rows = jnp.take(decoded_g, jnp.maximum(slot_top, 0), axis=0)
+        cross = jnp.einsum("qkd,qd->qk", rows, q16,
+                           preferred_element_type=jnp.float32)
+        nrm_c = jnp.take(norms_g, jnp.maximum(slot_top, 0))
+        qsq = jnp.sum(q_all * q_all, axis=-1)
+        exact = nrm_c - 2.0 * cross + qsq[:, None]
+        neg, pos2 = lax.top_k(-exact, k_eff)
+        slot_top = jnp.take_along_axis(slot_top, pos2, axis=1)
+        ids = jnp.take(order_g, slot_top)
+        dists = -neg
+        if k_eff < topk:
+            dists = jnp.concatenate(
+                [dists, jnp.full((qn, topk - k_eff), jnp.inf)], axis=1)
+            ids = jnp.concatenate(
+                [ids, jnp.full((qn, topk - k_eff), -1, ids.dtype)], axis=1)
+        ids = jnp.where(jnp.isfinite(dists), ids, -1)
+        return dists, ids
 
     # (3) chunked bucket-window scoring: gather whole buckets (contiguous
     # (cap_u, D) blocks) and run one (Uc*cap_u, D) x (D, Q) MXU GEMM per chunk.

@@ -355,6 +355,213 @@ def pq_scan_topk(queries, codes, norms_col, cw_padded, topk, blk=1024,
     return _merge_tile_minima(queries, vmin, amin, topk, recall_target)
 
 
+# --------------------------------------------------------------------------- #
+# fused IVF window scan: probed virtual-bucket windows streamed IN PLACE from
+# the grouped replica via scalar-prefetch block indexing — no gather copy, and
+# consecutive duplicate window ids skip the re-DMA entirely.
+# --------------------------------------------------------------------------- #
+
+_IVF_TILE = 8  # slots per reported (min, argmin): finer than the full-scan
+               # kernels' 128 because IVF candidates concentrate in few windows
+
+
+def _ivf_window_kernel(flat_ref, dup_ref, dec_ref, qt_ref,
+                       min_ref, arg_ref, *, cap_v):
+    """One grid step: ADC scores for one probed window -> per-8-slot TOP-2.
+
+    dec_ref blocks are selected by the scalar-prefetched window id (see index
+    maps in ivf_window_tile_minima); dup windows are masked +inf. Norms are
+    derived in kernel from the decoded rows (same contract as the multi-window
+    variant — callers exactly rescore the final top-k). Reporting two
+    candidates per tile means a true top-k entry is lost only when THREE of
+    them share one 8-slot tile — negligible at any k<=100.
+    """
+    u = pl.program_id(0)
+    qn = qt_ref.shape[1]
+    win = flat_ref[u]
+    pen = lax.select(dup_ref[u] != 0, jnp.float32(jnp.inf), jnp.float32(0.0))
+    ntiles = cap_v // _IVF_TILE
+
+    dec = dec_ref[...]  # (cap_v, D) bf16
+    decf = dec.astype(jnp.float32)
+    nrm = jnp.sum(decf * decf, axis=1, keepdims=True)  # (cap_v, 1)
+    cross = jnp.dot(dec, qt_ref[...], preferred_element_type=jnp.float32)
+    scores = nrm - 2.0 * cross + pen  # (cap_v, Q)
+
+    st = scores.reshape(ntiles, _IVF_TILE, qn)
+    row = lax.broadcasted_iota(jnp.int32, (ntiles, _IVF_TILE, qn), 1)
+    base = win * cap_v + lax.broadcasted_iota(
+        jnp.int32, (ntiles, qn), 0) * _IVF_TILE
+
+    vmin1 = jnp.min(st, axis=1)  # (ntiles, Q)
+    is1 = st == vmin1[:, None, :]
+    amin1 = jnp.min(jnp.where(is1, row, _IVF_TILE), axis=1)
+    # second best: mask ONE occurrence of the min (ties keep their duplicate)
+    st2 = jnp.where(is1 & (row == amin1[:, None, :]), jnp.inf, st)
+    vmin2 = jnp.min(st2, axis=1)
+    amin2 = jnp.min(jnp.where(st2 == vmin2[:, None, :], row, _IVF_TILE), axis=1)
+    amin1 = jnp.minimum(amin1, _IVF_TILE - 1)
+    amin2 = jnp.minimum(amin2, _IVF_TILE - 1)
+
+    min_ref[0:ntiles, :] = vmin1
+    min_ref[ntiles:2 * ntiles, :] = vmin2
+    arg_ref[0:ntiles, :] = base + amin1
+    arg_ref[ntiles:2 * ntiles, :] = base + amin2
+
+
+def _ivf_window_multi_kernel(flat_ref, dup_ref, dec_hbm, qt_ref,
+                             min_ref, arg_ref, dec_buf, sems,
+                             *, cap_v, wpb):
+    """Multi-window grid step: WPB probed windows per step, fetched with
+    manual async DMAs from HBM.
+
+    The one-window-per-step variant (_ivf_window_kernel) spends ~1us of grid
+    sequencing per 64KB window and lands far below the HBM roofline; batching
+    WPB windows per step amortizes that overhead. All WPB copies are issued
+    up front (they fit VMEM easily), then each window is waited on and scored.
+
+    Norms are computed IN KERNEL from the decoded rows (a 1-lane norms DMA is
+    not tileable on TPU): selection runs at bf16-norm precision and the caller
+    exactly rescores the final top-k with the f32 norms. Padding rows carry a
+    large sentinel value (models/ivf docstring) so their in-kernel norm
+    dominates any real score.
+    """
+    g = pl.program_id(0)
+    qn = qt_ref.shape[1]
+    ntiles = cap_v // _IVF_TILE
+
+    def dec_copy(j):
+        win = flat_ref[g * wpb + j]
+        return pltpu.make_async_copy(
+            dec_hbm.at[pl.ds(win * cap_v, cap_v), :], dec_buf.at[j],
+            sems.at[j])
+
+    for j in range(wpb):  # static unroll: issue all fetches up front
+        dec_copy(j).start()
+
+    for j in range(wpb):  # static unroll: wait + score in arrival order
+        dec_copy(j).wait()
+        win = flat_ref[g * wpb + j]
+        pen = lax.select(dup_ref[g * wpb + j] != 0,
+                         jnp.float32(jnp.inf), jnp.float32(0.0))
+        dec = dec_buf[j]  # (cap_v, D) bf16
+        decf = dec.astype(jnp.float32)
+        nrm = jnp.sum(decf * decf, axis=1, keepdims=True)  # (cap_v, 1)
+        cross = jnp.dot(dec, qt_ref[...], preferred_element_type=jnp.float32)
+        scores = nrm - 2.0 * cross + pen  # (cap_v, Q)
+
+        st = scores.reshape(ntiles, _IVF_TILE, qn)
+        row = lax.broadcasted_iota(jnp.int32, (ntiles, _IVF_TILE, qn), 1)
+        base = win * cap_v + lax.broadcasted_iota(
+            jnp.int32, (ntiles, qn), 0) * _IVF_TILE
+        vmin1 = jnp.min(st, axis=1)
+        is1 = st == vmin1[:, None, :]
+        amin1 = jnp.min(jnp.where(is1, row, _IVF_TILE), axis=1)
+        st2 = jnp.where(is1 & (row == amin1[:, None, :]), jnp.inf, st)
+        vmin2 = jnp.min(st2, axis=1)
+        amin2 = jnp.min(jnp.where(st2 == vmin2[:, None, :], row, _IVF_TILE),
+                        axis=1)
+        amin1 = jnp.minimum(amin1, _IVF_TILE - 1)
+        amin2 = jnp.minimum(amin2, _IVF_TILE - 1)
+        r0 = j * 2 * ntiles
+        min_ref[r0:r0 + ntiles, :] = vmin1
+        min_ref[r0 + ntiles:r0 + 2 * ntiles, :] = vmin2
+        arg_ref[r0:r0 + ntiles, :] = base + amin1
+        arg_ref[r0 + ntiles:r0 + 2 * ntiles, :] = base + amin2
+
+
+@partial(jax.jit, static_argnames=("cap_v", "wpb"))
+def ivf_window_tile_minima_multi(queries, decoded_g, flat, dup,
+                                 cap_v, wpb=16):
+    """TPU fast path: per-8-slot top-2 over probed windows, WPB windows per
+    grid step via manual async DMA. flat/dup must be padded to a multiple of
+    wpb (pad windows with dup=1). Norms are derived in kernel (bf16-class) —
+    callers must exactly rescore the returned candidates."""
+    total, d = decoded_g.shape
+    qn = queries.shape[0]
+    u = flat.shape[0]
+    assert u % wpb == 0, (u, wpb)
+    ntiles = cap_v // _IVF_TILE
+    qt = queries.astype(jnp.bfloat16).T  # (D, Q)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(u // wpb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # decoded_g stays in HBM
+            pl.BlockSpec((d, qn), lambda i, flat_, dup_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((wpb * 2 * ntiles, qn), lambda i, flat_, dup_: (i, 0)),
+            pl.BlockSpec((wpb * 2 * ntiles, qn), lambda i, flat_, dup_: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((wpb, cap_v, d), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((wpb,)),
+        ],
+    )
+    kernel = partial(_ivf_window_multi_kernel, cap_v=cap_v, wpb=wpb)
+    vmin_t, amin_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((u * 2 * ntiles, qn), jnp.float32),
+            jax.ShapeDtypeStruct((u * 2 * ntiles, qn), jnp.int32),
+        ],
+    )(flat, dup, decoded_g, qt)
+    return vmin_t.T, amin_t.T
+
+
+@partial(jax.jit, static_argnames=("cap_v", "interpret"))
+def ivf_window_tile_minima(queries, decoded_g, flat, dup, cap_v,
+                           interpret=False):
+    """Per-8-slot top-2 over the probed windows, read in place.
+
+    Args:
+        queries: (Q, D) f32, Q a multiple of 8.
+        decoded_g: (nlist_v_pad * cap_v, D) bf16 uniform grouped replica;
+            padding rows must carry the large sentinel (see Rii cache build)
+            so their in-kernel norms dominate.
+        flat: (U,) int32 SORTED window ids (duplicates adjacent — the Pallas
+            pipeline skips the DMA when the block index repeats).
+        dup: (U,) int32, 1 marks duplicate entries to mask out.
+
+    Returns (vmin (Q, U * 2*cap_v/8) f32 WITHOUT ||q||^2 at bf16-norm
+    precision, amin (Q, U * 2*cap_v/8) int32 GLOBAL grouped-slot ids) —
+    two candidates per 8-slot tile. Callers must exactly rescore.
+    """
+    total, d = decoded_g.shape
+    qn = queries.shape[0]
+    u = flat.shape[0]
+    ntiles = cap_v // _IVF_TILE
+    assert cap_v % _IVF_TILE == 0 and total % cap_v == 0
+    qt = queries.astype(jnp.bfloat16).T  # (D, Q)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(u,),
+        in_specs=[
+            pl.BlockSpec((cap_v, d), lambda i, flat_, dup_: (flat_[i], 0)),
+            pl.BlockSpec((d, qn), lambda i, flat_, dup_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2 * ntiles, qn), lambda i, flat_, dup_: (i, 0)),
+            pl.BlockSpec((2 * ntiles, qn), lambda i, flat_, dup_: (i, 0)),
+        ],
+    )
+    kernel = partial(_ivf_window_kernel, cap_v=cap_v)
+    vmin_t, amin_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((u * 2 * ntiles, qn), jnp.float32),
+            jax.ShapeDtypeStruct((u * 2 * ntiles, qn), jnp.int32),
+        ],
+        interpret=interpret,
+    )(flat, dup, decoded_g, qt)
+    return vmin_t.T, amin_t.T
+
+
 def prepare_pq_scan_inputs(codes, norms, codewords, cap=None, blk=1024):
     """Host-side packing for pq_scan_topk: pad codes/norms to cap.
 

@@ -58,10 +58,10 @@ def _pow2_at_least(n, lo=1):
     return v
 
 
-def _pad_queries(queries):
-    """Pad the query batch to a power-of-two bucket (repeat row 0)."""
+def _pad_queries(queries, lo=1):
+    """Pad the query batch to a power-of-two bucket >= lo (repeat row 0)."""
     qn = queries.shape[0]
-    bucket = _pow2_at_least(qn, 1)
+    bucket = _pow2_at_least(qn, lo)
     if bucket == qn:
         return queries, qn
     pad = np.broadcast_to(queries[:1], (bucket - qn, queries.shape[1]))
@@ -326,7 +326,12 @@ class Rii:
             q_ = queries
 
         if method == "auto":
-            method = "linear" if self._use_linear(len_target_ids, L) else "ivf"
+            qn = queries.shape[0]
+            # the union-IVF cost amortizes over the batch; the cache must
+            # exist for the virtual-layout cost model to see its stats
+            self._ensure_cache()
+            method = "linear" if self._use_linear(len_target_ids, L, qn=qn) \
+                else "ivf"
         if method == "linear":
             ids, dists = self._query_linear_batch(q_, topk, tids)
         else:
@@ -450,7 +455,11 @@ class Rii:
 
     def _query_ivf_batch(self, queries, topk, tids, L, force_full=False):
         dc = self._ensure_cache()
-        qp, qn = _pad_queries(queries)
+        # the fused window kernel path handles the no-subset case; subset
+        # masks ride the XLA union path (masking needs the f32 norms stream)
+        use_pallas_ivf = ("decoded_g" in dc and tids is None
+                          and self._use_pallas_scan())
+        qp, qn = _pad_queries(queries, lo=8 if use_pallas_ivf else 1)
         qd = jnp.asarray(qp)
         s = None if tids is None else len(tids)
         w = self.nlist if force_full else self._probe_width(L, s)
@@ -485,7 +494,7 @@ class Rii:
                 qd, dc["decoded_g"], dc["norms_g"], dc["order_g"],
                 dc["centers_dec_v"], dc["centers_norms_v"], w=wv, topk=topk,
                 cap_u=dc["cap_v"], nlist_pad=dc["nlist_v_pad"],
-                target_mask=tm, recall_target=rt)
+                target_mask=tm, recall_target=rt, use_pallas=use_pallas_ivf)
         elif "decoded_flat" in dc:
             # fully query-batched probe over the bf16 replica
             d, i = ivf_scan_topk_decoded(
@@ -516,19 +525,26 @@ class Rii:
         avglen = self.L0
         return min((topk // avglen + 1) * avglen, self._n)
 
-    def _use_linear(self, len_target_ids, L):
+    def _use_linear(self, len_target_ids, L, qn=1):
         if len_target_ids <= self.threshold(L):
             return True
         # TPU cost-model guard (what the reference's *measured* calibration
-        # would discover): the masked linear scan streams all N rows through
-        # the MXU, while the ivf path gathers ~w*cap_max candidate rows per
-        # query — and w = round(L*nlist/|S|)+3 explodes for subsets, with a
-        # gathered row costing ~8x a streamed one. Prefer linear when the ivf
-        # candidate work is not clearly smaller than one full scan.
-        w = self._probe_width(L, None if len_target_ids >= self._n else len_target_ids)
+        # would discover). With the union-bucket scan, an IVF batch streams
+        # min(Q*wv, nlist_v)*cap_v replica rows; the linear scan streams all
+        # cap rows once for the whole batch. Window reads cost ~1.5x a
+        # straight-line stream, so prefer linear when the IVF row volume is
+        # not clearly below the full scan.
+        dc = self._dc
+        s = None if len_target_ids >= self._n else len_target_ids
+        if dc is not None and "nlist_v" in dc:
+            wv = self._probe_width_virtual(L, s, dc)
+            rows = min(qn * wv, dc["nlist_v"]) * dc["cap_v"]
+            return rows * 3 >= 2 * dc["cap"]
+        # legacy gather path: a gathered row costs ~8x a streamed one
+        w = self._probe_width(L, s)
         cap_max = self.L0 * 2 if self.L0 else 1
-        if self._dc is not None and "cap_max" in self._dc:
-            cap_max = self._dc["cap_max"]
+        if dc is not None and "cap_max" in dc:
+            cap_max = dc["cap_max"]
         return w * cap_max * 8 >= self._n
 
     def _resolve_update_posting_lists_flag(self, flag):
@@ -687,21 +703,28 @@ class Rii:
                 d_dim = self.M * cw.shape[2]
                 if ul["total"] * d_dim * 2 <= self.decoded_cache_budget:
                     codes_g = jnp.asarray(ul["codes_grouped"])
+                    order_g = jnp.asarray(ul["order"])
+                    dec_g = build_decoded_cache(codes_g, dc["codewords"],
+                                                block=2048 if ul["total"]
+                                                % 2048 == 0 else ul["cap_v"])
+                    # padding rows get a large sentinel so the Pallas window
+                    # kernel's in-kernel norms dominate any real score (the
+                    # XLA paths mask padding via the +inf grouped norms)
+                    dec_g = jnp.where((order_g < 0)[:, None],
+                                      jnp.bfloat16(1e15), dec_g)
                     vreal = ul["vreal"]
                     cdv = centers_dec[np.clip(vreal, 0, nlist_pad - 1)]
                     cnv = np.where(vreal >= 0, centers_norms[
                         np.clip(vreal, 0, nlist_pad - 1)], np.inf)
-                    blk_g = 2048 if ul["total"] % 2048 == 0 else ul["cap_v"]
                     dc.update({
                         "cap_v": ul["cap_v"],
                         "nlist_v": ul["nlist_v"],
                         "nlist_v_pad": ul["nlist_v_pad"],
-                        "order_g": jnp.asarray(ul["order"]),
+                        "order_g": order_g,
                         "norms_g": jnp.asarray(ul["norms_grouped"]),
                         "centers_dec_v": jnp.asarray(cdv),
                         "centers_norms_v": jnp.asarray(cnv.astype(np.float32)),
-                        "decoded_g": build_decoded_cache(
-                            codes_g, dc["codewords"], block=blk_g),
+                        "decoded_g": dec_g,
                     })
         self._dc = dc
         return dc

@@ -126,3 +126,32 @@ def test_ivf_small_w_returns_valid(engine):
     ids, dists = e.query_batch(qs, topk=3, L=e.L0, method="ivf")
     assert (ids >= 0).all()
     assert np.isfinite(dists).all()
+
+
+def test_pallas_window_kernel_interpret_matches_xla(engine):
+    """The fused window kernel (interpret mode) must agree with the XLA union
+    path: identical top-1, >=0.9 set overlap at top-10 (8-slot tile top-2 can
+    drop a candidate only when three of the true top-10 share one tile)."""
+    import jax.numpy as jnp
+    from rii_tpu.ops.ivf import ivf_union_scan_topk
+
+    e, X = engine
+    dc = e._ensure_cache()
+    rng = np.random.RandomState(5)
+    qs = np.ascontiguousarray(X[rng.choice(e.N, 8, replace=False)])
+    qd = jnp.asarray(qs)
+    wv = e._probe_width_virtual(e.N, None, dc)
+    args = (qd, dc["decoded_g"], dc["norms_g"], dc["order_g"],
+            dc["centers_dec_v"], dc["centers_norms_v"])
+    kw = dict(w=wv, topk=10, cap_u=dc["cap_v"], nlist_pad=dc["nlist_v_pad"],
+              recall_target=None)
+    d_x, i_x = ivf_union_scan_topk(*args, **kw)
+    d_p, i_p = ivf_union_scan_topk(*args, **kw, use_pallas=True,
+                                   interpret=True)
+    ix, ip = np.asarray(i_x), np.asarray(i_p)
+    assert (ix[:, 0] == ip[:, 0]).all()
+    rec = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(ix, ip)])
+    assert rec >= 0.9
+    # rescored distances are exact-norm + bf16-cross class
+    np.testing.assert_allclose(np.asarray(d_p)[:, 0], np.asarray(d_x)[:, 0],
+                               rtol=2e-2)
