@@ -184,6 +184,7 @@ def main():
 
         wv = e._probe_width_virtual(L, None, dc)
         qiv_d = jnp.asarray(qiv)
+        use_pallas_ivf = e._use_pallas_scan()
 
         @jax.jit
         def ivf_loop(reps, qb, dec_g, nrm_g, ord_g, cdec, cnrm):
@@ -191,7 +192,8 @@ def main():
                 dd, _ = ivf_union_scan_topk(
                     qb + acc * 1e-30, dec_g, nrm_g, ord_g, cdec, cnrm,
                     w=wv, topk=topk, cap_u=dc["cap_v"],
-                    nlist_pad=dc["nlist_v_pad"], recall_target=rt)
+                    nlist_pad=dc["nlist_v_pad"], recall_target=rt,
+                    use_pallas=use_pallas_ivf)
                 return dd[0, 0]
             return lax.fori_loop(0, reps, body, jnp.float32(0.0))
 

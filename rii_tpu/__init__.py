@@ -15,9 +15,37 @@ architecture is TPU-first:
   merges per-shard top-k with all-gather collectives (see ``rii_tpu.parallel``).
 """
 
-from rii_tpu.models.pq import PQ
-from rii_tpu.models.opq import OPQ
-from rii_tpu.rii import Rii
+import os as _os
+
+
+def _enable_persistent_compile_cache():
+    """Persist compiled executables across processes (index builds are
+    compile-bound on remote-compile backends: ~14s -> ~1s per kernel).
+
+    Respects an existing user setting; disable with RII_TPU_NO_COMPILE_CACHE=1.
+    """
+    if _os.environ.get("RII_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if getattr(jax.config, "jax_compilation_cache_dir", None):
+            return  # user already configured one
+        cache = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "rii_tpu",
+                          "jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # never block import on cache setup
+
+
+_enable_persistent_compile_cache()
+
+from rii_tpu.models.pq import PQ  # noqa: E402
+from rii_tpu.models.opq import OPQ  # noqa: E402
+from rii_tpu.rii import Rii  # noqa: E402
 
 __version__ = "0.1.0"
 
