@@ -43,6 +43,7 @@ def exact_nn_ids(X, queries, block=131072):
         def f(args):
             xblk, sblk, base = args
             s = sblk[None, :] - 2.0 * jnp.dot(q, xblk.T,
+                                              precision=lax.Precision.HIGHEST,
                                               preferred_element_type=jnp.float32)
             neg, idx = lax.top_k(-s, 1)
             return neg[:, 0], idx[:, 0] + base
@@ -121,7 +122,8 @@ def main():
 
         def scan_once(qb, decoded, norms):
             d, _ = replica_scan_topk(qb, decoded, norms[:, None],
-                                     topk=topk, blk=1024, recall_target=rt)
+                                     topk=topk, blk=min(8192, decoded.shape[0]),
+                                     recall_target=rt)
             return d[0, 0]
 
         args = (dc["decoded_flat"], dc["norms_flat"])

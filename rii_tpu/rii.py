@@ -367,11 +367,11 @@ class Rii:
                 d, i = replica_i8_scan_topk(
                     qd, dc["decoded_i8"], dc["i8_scales"],
                     dc["norms_flat"][:, None], dc["codes_flat"],
-                    dc["codewords"], topk=topk, blk=min(1024, dc["cap"]),
+                    dc["codewords"], topk=topk, blk=min(8192, dc["cap"]),
                     recall_target=rt)
             elif use_pallas_replica:
                 d, i = replica_scan_topk(qd, decoded, dc["norms_flat"][:, None],
-                                         topk=topk, blk=min(1024, dc["cap"]),
+                                         topk=topk, blk=min(8192, dc["cap"]),
                                          recall_target=rt)
             elif decoded is not None:
                 d, i = linear_scan_topk_decoded(qd, decoded, dc["norms_flat"],
@@ -396,14 +396,14 @@ class Rii:
                 d, i = replica_i8_scan_topk(
                     qd, dc["decoded_i8"], dc["i8_scales"],
                     jnp.asarray(norms_col[:, None]), dc["codes_flat"],
-                    dc["codewords"], topk=topk, blk=min(1024, dc["cap"]),
+                    dc["codewords"], topk=topk, blk=min(8192, dc["cap"]),
                     recall_target=rt)
             elif use_pallas_replica:
                 norms_col = np.asarray(dc["norms_flat"]).copy()
                 norms_col[~mask] = np.inf
                 d, i = replica_scan_topk(qd, decoded,
                                          jnp.asarray(norms_col[:, None]),
-                                         topk=topk, blk=min(1024, dc["cap"]),
+                                         topk=topk, blk=min(8192, dc["cap"]),
                                          recall_target=rt)
             elif decoded is not None:
                 d, i = linear_scan_topk_decoded(qd, decoded, dc["norms_flat"],
