@@ -1,0 +1,167 @@
+"""Continuous-batching query server over a built Rii engine.
+
+The reference is a library only; a production TPU deployment needs a serving
+loop that (a) coalesces concurrent requests into one device batch — TPU
+throughput comes from batched MXU work, and per-dispatch overhead is high —
+and (b) keeps jit-cache churn bounded by padding to power-of-two buckets
+(which ``Rii.query_batch`` already does).
+
+Design: callers submit from any thread and receive a Future; one dispatcher
+thread drains the queue, groups compatible requests (same topk/L/method —
+target_ids requests are dispatched singly since the mask is per-batch), runs
+``query_batch`` once per group, and resolves the Futures. Latency knob:
+``max_wait_ms`` bounds how long a lone request waits for batch-mates.
+"""
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+
+import numpy as np
+
+
+class _Request:
+    __slots__ = ("queries", "topk", "L", "target_ids", "method", "future",
+                 "t_submit")
+
+    def __init__(self, queries, topk, L, target_ids, method):
+        self.queries = queries
+        self.topk = topk
+        self.L = L
+        self.target_ids = target_ids
+        self.method = method
+        self.future = Future()
+        self.t_submit = time.perf_counter()
+
+
+class QueryServer:
+    """Batched ANN query server.
+
+    Args:
+        engine: a built :class:`rii_tpu.Rii` (reconfigured, N > 0).
+        max_batch: maximum queries per device dispatch.
+        max_wait_ms: max time a request waits for batch-mates before dispatch.
+
+    Usage::
+
+        srv = QueryServer(engine)
+        srv.start()
+        fut = srv.submit(q, topk=10)        # from any thread
+        ids, dists = fut.result()
+        srv.stop()
+    """
+
+    def __init__(self, engine, max_batch=1024, max_wait_ms=2.0):
+        self.engine = engine
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self._q = queue.Queue()
+        self._thread = None
+        self._running = False
+        self._lat = []  # end-to-end seconds per request (bounded window)
+        self._served = 0
+        self._t_start = None
+
+    # ------------------------------------------------------------------ #
+
+    def start(self):
+        assert self._thread is None, "already started"
+        self._running = True
+        self._t_start = time.perf_counter()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="rii-query-server")
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._running = False
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    def submit(self, queries, topk=1, L=None, target_ids=None, method="auto"):
+        """Enqueue 1 query (D,) or a mini-batch (q, D). Returns a Future whose
+        result is (ids (q, topk) int64, dists (q, topk) float64) — squeezed to
+        1-D for single-query submissions."""
+        queries = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
+        assert queries.shape[0] <= self.max_batch, "mini-batch exceeds max_batch"
+        req = _Request(queries, int(topk), L, target_ids, method)
+        self._q.put(req)
+        return req.future
+
+    def stats(self):
+        """dict: served count, QPS since start, p50/p99 end-to-end latency (s)."""
+        lat = sorted(self._lat[-4096:])
+        dt = max(1e-9, time.perf_counter() - (self._t_start or time.perf_counter()))
+        return {
+            "served": self._served,
+            "qps": self._served / dt,
+            "p50_s": lat[len(lat) // 2] if lat else None,
+            "p99_s": lat[int(len(lat) * 0.99)] if lat else None,
+        }
+
+    # ------------------------------------------------------------------ #
+
+    def _take_group(self):
+        """Block for one request, then drain compatible ones up to max_batch."""
+        try:
+            first = self._q.get(timeout=0.05)
+        except queue.Empty:
+            return None
+        group = [first]
+        total = first.queries.shape[0]
+        if first.target_ids is not None:
+            return group  # per-batch mask: dispatch singly
+        deadline = first.t_submit + self.max_wait_s
+        while total < self.max_batch:
+            timeout = deadline - time.perf_counter()
+            if timeout <= 0 and self._q.empty():
+                break
+            try:
+                nxt = self._q.get(timeout=max(0.0, timeout))
+            except queue.Empty:
+                break
+            if (nxt.target_ids is not None or nxt.topk != first.topk
+                    or nxt.L != first.L or nxt.method != first.method
+                    or total + nxt.queries.shape[0] > self.max_batch):
+                self._q.put(nxt)  # incompatible: handled by a later group
+                break
+            group.append(nxt)
+            total += nxt.queries.shape[0]
+        return group
+
+    def _run(self):
+        while self._running:
+            group = self._take_group()
+            if group is None:
+                continue
+            first = group[0]
+            batch = np.concatenate([r.queries for r in group], axis=0)
+            try:
+                ids, dists = self.engine.query_batch(
+                    batch, topk=first.topk, L=first.L,
+                    target_ids=first.target_ids, method=first.method)
+            except Exception as ex:  # resolve all futures with the error
+                for r in group:
+                    r.future.set_exception(ex)
+                continue
+            now = time.perf_counter()
+            off = 0
+            for r in group:
+                n = r.queries.shape[0]
+                i, d = ids[off:off + n], dists[off:off + n]
+                if n == 1 and r.queries.ndim == 2 and r.queries.shape[0] == 1:
+                    pass  # keep 2-D; callers index [0] if they sent (D,)
+                r.future.set_result((i, d))
+                self._lat.append(now - r.t_submit)
+                self._served += n
+                off += n
+            if len(self._lat) > 8192:
+                del self._lat[: len(self._lat) - 4096]

@@ -59,3 +59,27 @@ def test_reconfigure_calibrate_flag():
     e, X = _engine(n=300)
     e.reconfigure(nlist=10, calibrate=True)
     assert isinstance(e.threshold, np.poly1d)
+
+
+def test_auto_policy_batch_aware_union_cost_model():
+    """method='auto' with the virtual-bucket cache: a single query with small L
+    should pick IVF (tiny candidate volume); a full-batch query at the same L
+    should pick linear once the union of probes approaches a full scan."""
+    import numpy as np
+    from rii_tpu import PQ, Rii
+
+    rng = np.random.RandomState(0)
+    N, D = 8000, 32
+    X = rng.random((N, D)).astype(np.float32)
+    pq = PQ(M=4, Ks=32, verbose=False).fit(X[:1000], iter=3)
+    e = Rii(pq)
+    e.scan_mode = "bf16"
+    e.add_configure(X, nlist=90, iter=3)
+    e._ensure_cache()
+    L = e.L0  # smallest candidate budget
+
+    # single query: IVF candidate volume ~ wv*cap_v << N
+    assert not e._use_linear(N, L, qn=1)
+    # huge batch: the probe union covers nearly every virtual bucket ->
+    # a single linear stream is cheaper
+    assert e._use_linear(N, L, qn=4096)
