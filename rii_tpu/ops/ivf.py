@@ -191,6 +191,89 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
     return dists, ids
 
 
+@partial(jax.jit, static_argnames=("w", "topk", "cap_u", "nlist_pad",
+                                   "recall_target"))
+def ivf_union_scan_topk_pq(queries, codes_g, norms_g, order_g, codewords,
+                           centers_dec, centers_norms, w, topk, cap_u,
+                           nlist_pad, target_mask=None, recall_target=None):
+    """Memory-lean union-bucket IVF over uint8 code windows (no replica).
+
+    Same probe/union/merge scaffold as :func:`ivf_union_scan_topk`, but the
+    stored windows are the raw (cap_u, M) uint8 PQ codes; each chunk is
+    decoded in-flight with one-hot MXU matmuls (ops/decode.onehot_decode)
+    before the scoring GEMM. This is the IVF path for big-N deployments where
+    the bf16 replica does not fit (e.g. SIFT1B-class shards): storage is
+    N*M bytes + the grouped-layout padding.
+    """
+    q_all = queries.astype(jnp.float32)
+    qn = q_all.shape[0]
+    m = codes_g.shape[1]
+    q16 = q_all.astype(jnp.bfloat16)
+
+    if target_mask is not None:
+        norms_g = jnp.where(target_mask, norms_g, jnp.inf)
+
+    cscores = centers_norms[None, :] - 2.0 * jnp.dot(
+        q16, centers_dec.T.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32)
+    _, probe = lax.top_k(-cscores, w)  # (Q, w)
+
+    if qn * w >= nlist_pad:
+        u = nlist_pad
+        flat = jnp.arange(nlist_pad, dtype=jnp.int32)
+        dup = jnp.zeros((nlist_pad,), dtype=bool)
+    else:
+        u = qn * w
+        flat = jnp.sort(probe.astype(jnp.int32).reshape(-1))
+        dup = jnp.concatenate(
+            [jnp.zeros((1,), bool), flat[1:] == flat[:-1]])
+
+    uc = max(1, min(u, (1 << 24) // max(1, cap_u * qn)))
+    n_chunks = -(-u // uc)
+    pad = n_chunks * uc - u
+    if pad:
+        flat = jnp.pad(flat, (0, pad), constant_values=nlist_pad - 1)
+        dup = jnp.pad(dup, (0, pad), constant_values=True)
+
+    codes3 = codes_g.reshape(nlist_pad, cap_u, m)
+    norms2 = norms_g.reshape(nlist_pad, cap_u)
+    k_eff = min(topk, uc * cap_u)
+
+    def chunk_fn(args):
+        fl, dp = args  # (uc,), (uc,)
+        wins = jnp.take(codes3, fl, axis=0)  # (uc, cap_u, M) uint8
+        nrm = jnp.take(norms2, fl, axis=0)  # (uc, cap_u)
+        nrm = jnp.where(dp[:, None], jnp.inf, nrm)
+        # f32 HIGHEST like the other pq-mode paths: this is the exact
+        # memory-lean path (the bf16 replica path is the TPU fast path)
+        dec = onehot_decode(wins.reshape(uc * cap_u, m), codewords,
+                            dtype=jnp.float32)
+        cross = jnp.dot(dec, q_all.T, precision=_PREC,
+                        preferred_element_type=jnp.float32)
+        s = nrm.reshape(-1)[:, None] - 2.0 * cross  # (uc*cap_u, Q)
+        neg, pos = _select_topk(-s.T, k_eff, recall_target)  # (Q, k_eff)
+        slot = fl[pos // cap_u] * cap_u + (pos % cap_u)
+        return neg, slot
+
+    negs, slots = lax.map(chunk_fn, (flat.reshape(n_chunks, uc),
+                                     dup.reshape(n_chunks, uc)))
+    negs = jnp.swapaxes(negs, 0, 1).reshape(qn, n_chunks * k_eff)
+    slots = jnp.swapaxes(slots, 0, 1).reshape(qn, n_chunks * k_eff)
+    neg_top, pos = lax.top_k(negs, min(topk, n_chunks * k_eff))
+    slot_top = jnp.take_along_axis(slots, pos, axis=1)
+    ids = jnp.take(order_g, slot_top)
+    qsq = jnp.sum(q_all * q_all, axis=-1)
+    dists = -neg_top + qsq[:, None]
+    kk = dists.shape[1]
+    if kk < topk:
+        dists = jnp.concatenate(
+            [dists, jnp.full((qn, topk - kk), jnp.inf)], axis=1)
+        ids = jnp.concatenate(
+            [ids, jnp.full((qn, topk - kk), -1, ids.dtype)], axis=1)
+    ids = jnp.where(jnp.isfinite(dists), ids, -1)
+    return dists, ids
+
+
 @partial(jax.jit, static_argnames=("w", "topk", "cap_max", "chunk", "precision",
                                    "recall_target"))
 def ivf_scan_topk_decoded(queries, decoded, centers_dec, centers_norms,

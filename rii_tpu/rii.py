@@ -38,6 +38,7 @@ from rii_tpu.ops.ivf import (
     ivf_scan_topk,
     ivf_scan_topk_decoded,
     ivf_union_scan_topk,
+    ivf_union_scan_topk_pq,
 )
 from rii_tpu.ops.pallas_scan import (
     pq_scan_topk,
@@ -472,7 +473,7 @@ class Rii:
             kwargs = dict(target_ids=jnp.asarray(tids_pad), n_targets=jnp.int32(s))
         rt = getattr(self, "topk_recall", None)
         probe_full = w >= self.nlist
-        if "decoded_g" in dc:
+        if "decoded_g" in dc or "codes_g" in dc:
             # union-bucket batched probe over the balanced virtual-bucket
             # replica: windows DMA'd contiguously, scored for the batch in one
             # MXU GEMM (ops/ivf.py::ivf_union_scan_topk). Probe width is in
@@ -490,11 +491,21 @@ class Rii:
                 mask[np.clip(tids, 0, dc["cap"] - 1)] = True
                 tm = jnp.take(jnp.asarray(mask),
                               jnp.clip(dc["order_g"], 0, dc["cap"] - 1))
-            d, i = ivf_union_scan_topk(
-                qd, dc["decoded_g"], dc["norms_g"], dc["order_g"],
-                dc["centers_dec_v"], dc["centers_norms_v"], w=wv, topk=topk,
-                cap_u=dc["cap_v"], nlist_pad=dc["nlist_v_pad"],
-                target_mask=tm, recall_target=rt, use_pallas=use_pallas_ivf)
+            if "decoded_g" in dc:
+                d, i = ivf_union_scan_topk(
+                    qd, dc["decoded_g"], dc["norms_g"], dc["order_g"],
+                    dc["centers_dec_v"], dc["centers_norms_v"], w=wv,
+                    topk=topk, cap_u=dc["cap_v"], nlist_pad=dc["nlist_v_pad"],
+                    target_mask=tm, recall_target=rt,
+                    use_pallas=use_pallas_ivf)
+            else:
+                # memory-lean: uint8 code windows, decoded in-flight
+                d, i = ivf_union_scan_topk_pq(
+                    qd, dc["codes_g"], dc["norms_g"], dc["order_g"],
+                    dc["codewords"], dc["centers_dec_v"],
+                    dc["centers_norms_v"], w=wv, topk=topk, cap_u=dc["cap_v"],
+                    nlist_pad=dc["nlist_v_pad"], target_mask=tm,
+                    recall_target=rt)
         elif "decoded_flat" in dc:
             # fully query-batched probe over the bf16 replica
             d, i = ivf_scan_topk_decoded(
@@ -693,39 +704,40 @@ class Rii:
                 "centers_dec": jnp.asarray(centers_dec),
                 "centers_norms": jnp.asarray(centers_norms),
             })
-            if resolved == "bf16":
-                # balanced virtual-bucket replica for the union-bucket IVF
-                # scan: big buckets split into cap_v-slot windows, each window
-                # a contiguous DMA, probe width scaled by nlist_v. Gate: fits
-                # the decoded-cache budget (inflation is bounded ~N + nlist*cap_v).
-                ul = build_virtual_layout(codes, norms, self._assignments(),
-                                          nlist)
-                d_dim = self.M * cw.shape[2]
-                if ul["total"] * d_dim * 2 <= self.decoded_cache_budget:
-                    codes_g = jnp.asarray(ul["codes_grouped"])
-                    order_g = jnp.asarray(ul["order"])
-                    dec_g = build_decoded_cache(codes_g, dc["codewords"],
-                                                block=2048 if ul["total"]
-                                                % 2048 == 0 else ul["cap_v"])
-                    # padding rows get a large sentinel so the Pallas window
-                    # kernel's in-kernel norms dominate any real score (the
-                    # XLA paths mask padding via the +inf grouped norms)
-                    dec_g = jnp.where((order_g < 0)[:, None],
-                                      jnp.bfloat16(1e15), dec_g)
-                    vreal = ul["vreal"]
-                    cdv = centers_dec[np.clip(vreal, 0, nlist_pad - 1)]
-                    cnv = np.where(vreal >= 0, centers_norms[
-                        np.clip(vreal, 0, nlist_pad - 1)], np.inf)
-                    dc.update({
-                        "cap_v": ul["cap_v"],
-                        "nlist_v": ul["nlist_v"],
-                        "nlist_v_pad": ul["nlist_v_pad"],
-                        "order_g": order_g,
-                        "norms_g": jnp.asarray(ul["norms_grouped"]),
-                        "centers_dec_v": jnp.asarray(cdv),
-                        "centers_norms_v": jnp.asarray(cnv.astype(np.float32)),
-                        "decoded_g": dec_g,
-                    })
+            # balanced virtual-bucket layout for the union-bucket IVF scan:
+            # big buckets split into cap_v-slot windows, each window a
+            # contiguous DMA, probe width scaled by nlist_v. bf16 mode keeps a
+            # decoded window replica (gated on the decoded-cache budget);
+            # pq/int8 modes keep uint8 code windows and decode in-flight
+            # (ivf_union_scan_topk_pq) — N*M bytes, no budget gate needed.
+            ul = build_virtual_layout(codes, norms, self._assignments(), nlist)
+            vreal_c = ul["vreal"]
+            cdv_c = centers_dec[np.clip(vreal_c, 0, nlist_pad - 1)]
+            cnv_c = np.where(vreal_c >= 0, centers_norms[
+                np.clip(vreal_c, 0, nlist_pad - 1)], np.inf)
+            dc.update({
+                "cap_v": ul["cap_v"],
+                "nlist_v": ul["nlist_v"],
+                "nlist_v_pad": ul["nlist_v_pad"],
+                "order_g": jnp.asarray(ul["order"]),
+                "norms_g": jnp.asarray(ul["norms_grouped"]),
+                "centers_dec_v": jnp.asarray(cdv_c),
+                "centers_norms_v": jnp.asarray(cnv_c.astype(np.float32)),
+            })
+            d_dim = self.M * cw.shape[2]
+            if (resolved == "bf16"
+                    and ul["total"] * d_dim * 2 <= self.decoded_cache_budget):
+                codes_g = jnp.asarray(ul["codes_grouped"])
+                dec_g = build_decoded_cache(codes_g, dc["codewords"],
+                                            block=2048 if ul["total"]
+                                            % 2048 == 0 else ul["cap_v"])
+                # padding rows get a large sentinel so the Pallas window
+                # kernel's in-kernel norms dominate any real score (the
+                # XLA paths mask padding via the +inf grouped norms)
+                dc["decoded_g"] = jnp.where((dc["order_g"] < 0)[:, None],
+                                            jnp.bfloat16(1e15), dec_g)
+            else:
+                dc["codes_g"] = jnp.asarray(ul["codes_grouped"])
         self._dc = dc
         return dc
 

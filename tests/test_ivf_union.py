@@ -155,3 +155,29 @@ def test_pallas_window_kernel_interpret_matches_xla(engine):
     # rescored distances are exact-norm + bf16-cross class
     np.testing.assert_allclose(np.asarray(d_p)[:, 0], np.asarray(d_x)[:, 0],
                                rtol=2e-2)
+
+
+def test_pq_mode_union_ivf_matches_linear():
+    """scan_mode='pq' (no replica): the memory-lean union path must match the
+    exact linear pq scan at L=N, including subsets."""
+    rng = np.random.RandomState(21)
+    N, D = 3000, 32
+    X = rng.random((N, D)).astype(np.float32)
+    pq = PQ(M=4, Ks=32, verbose=False).fit(X[:1000], iter=3)
+    e = Rii(pq)
+    e.scan_mode = "pq"
+    e.add_configure(X, nlist=50, iter=3)
+    dc = e._ensure_cache()
+    assert "codes_g" in dc and "decoded_g" not in dc
+
+    q = X[17]
+    ids_l, d_l = e.query(q, topk=10, method="linear")
+    ids_i, d_i = e.query(q, topk=10, L=N, method="ivf")
+    assert set(ids_i.tolist()) == set(ids_l.tolist())
+    np.testing.assert_allclose(np.sort(d_i), np.sort(d_l), rtol=1e-5)
+
+    tids = np.sort(rng.choice(N, 700, replace=False)).astype(np.int64)
+    q2 = X[int(tids[0])]
+    ids_s, _ = e.query(q2, topk=10, L=N, target_ids=tids, method="ivf")
+    ids_sl, _ = e.query(q2, topk=10, target_ids=tids, method="linear")
+    assert set(ids_s.tolist()) == set(ids_sl.tolist())
