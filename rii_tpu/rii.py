@@ -485,6 +485,11 @@ class Rii:
             if force_full:
                 wv = dc["nlist_v_pad"]
             probe_full = wv >= dc["nlist_v"]
+            if probe_full or qd.shape[0] * wv >= dc["nlist_v"]:
+                # the batch's probe union covers every bucket: identical
+                # semantics to a full scan, so take the contiguous-stream
+                # linear path (no window bookkeeping, full HBM efficiency)
+                return self._query_linear_batch(queries, topk, tids)
             tm = None
             if tids is not None:
                 mask = np.zeros(dc["cap"], dtype=bool)
