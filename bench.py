@@ -106,7 +106,7 @@ def main():
     # serving deployment sees; the tunneled dev backend adds ~20ms RTT per
     # python-level call that production TPUs don't have.
     dc = e._ensure_cache()
-    from rii_tpu.ops.scan import linear_scan_topk, linear_scan_topk_decoded
+    from rii_tpu.ops.scan import linear_scan_topk
 
     # Dispatch/D2H overhead on the tunneled backend (~20-50ms, noisy) is removed
     # by DIFFERENCING two repetition counts of ONE jitted fori_loop with a

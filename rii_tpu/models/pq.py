@@ -18,7 +18,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from functools import partial
 
 from rii_tpu.models.kmeans import kmeans_fit_batched
 

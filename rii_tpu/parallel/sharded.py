@@ -6,12 +6,10 @@ This replaces the reference's OpenMP parallel-for over database points
 over a device mesh: XLA inserts the ICI collectives.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from rii_tpu.ops.decode import onehot_decode
