@@ -9,8 +9,10 @@ Drop-in replacement for the ``nanopq.PQ`` contract the reference depends on
 - ``code_dtype``, ``verbose``, ``__eq__`` (needed by ``Rii.merge``).
 
 TPU-first: all M sub-space codebooks train in one vmapped k-means program
-(``kmeans_fit_batched``); encoding is a blocked argmin over (B, M, Ks) distance
-tensors computed by MXU matmuls.
+(``kmeans_fit_batched``); encoding embeds the M codebooks block-diagonally in
+one (D, M*Ks) weight so each block is a single dense MXU GEMM followed by a
+per-subspace argmin (see ``_encode_weight``), submitted chunk-at-a-time as one
+device program.
 """
 
 import numpy as np

@@ -239,16 +239,25 @@ def ivf_union_scan_topk_pq(queries, codes_g, norms_g, order_g, codewords,
     norms2 = norms_g.reshape(nlist_pad, cap_u)
     k_eff = min(topk, uc * cap_u)
 
+    # selection dtype: the XLA one-hot decode materializes (rows, M, Ks) in
+    # HBM (~34 KB of traffic per candidate slot) and dominates this path; bf16
+    # halves it. recall_target=None keeps f32 HIGHEST end-to-end (the
+    # bit-exact mode); otherwise selection runs bf16 and the final top-k is
+    # exactly rescored below, so returned distances are f32-exact either way.
+    exact_sel = recall_target is None
+    sel_dtype = jnp.float32 if exact_sel else jnp.bfloat16
+    q_sel = q_all if exact_sel else q16
+
     def chunk_fn(args):
         fl, dp = args  # (uc,), (uc,)
         wins = jnp.take(codes3, fl, axis=0)  # (uc, cap_u, M) uint8
         nrm = jnp.take(norms2, fl, axis=0)  # (uc, cap_u)
         nrm = jnp.where(dp[:, None], jnp.inf, nrm)
-        # f32 HIGHEST like the other pq-mode paths: this is the exact
-        # memory-lean path (the bf16 replica path is the TPU fast path)
         dec = onehot_decode(wins.reshape(uc * cap_u, m), codewords,
-                            dtype=jnp.float32)
-        cross = jnp.dot(dec, q_all.T, precision=_PREC,
+                            dtype=sel_dtype,
+                            precision=_PREC if exact_sel else lax.Precision.DEFAULT)
+        cross = jnp.dot(dec, q_sel.T,
+                        precision=_PREC if exact_sel else lax.Precision.DEFAULT,
                         preferred_element_type=jnp.float32)
         s = nrm.reshape(-1)[:, None] - 2.0 * cross  # (uc*cap_u, Q)
         neg, pos = _select_topk(-s.T, k_eff, recall_target)  # (Q, k_eff)
@@ -261,9 +270,25 @@ def ivf_union_scan_topk_pq(queries, codes_g, norms_g, order_g, codewords,
     slots = jnp.swapaxes(slots, 0, 1).reshape(qn, n_chunks * k_eff)
     neg_top, pos = lax.top_k(negs, min(topk, n_chunks * k_eff))
     slot_top = jnp.take_along_axis(slots, pos, axis=1)
-    ids = jnp.take(order_g, slot_top)
     qsq = jnp.sum(q_all * q_all, axis=-1)
-    dists = -neg_top + qsq[:, None]
+    if exact_sel:
+        dists = -neg_top + qsq[:, None]
+    else:
+        # exact f32 rescore of the selected slots: decode their codes at
+        # HIGHEST precision (Q * topk rows — negligible)
+        kk_sel = slot_top.shape[1]
+        safe = jnp.maximum(slot_top, 0)
+        cand = jnp.take(codes_g, safe.reshape(-1), axis=0)  # (Q*kk, M)
+        dec = onehot_decode(cand, codewords, dtype=jnp.float32,
+                            precision=_PREC).reshape(qn, kk_sel, -1)
+        cross = jnp.einsum("qkd,qd->qk", dec, q_all, precision=_PREC)
+        nrm_c = jnp.take(norms_g, safe)
+        exact = nrm_c - 2.0 * cross + qsq[:, None]
+        exact = jnp.where(jnp.isfinite(-neg_top), exact, jnp.inf)
+        neg2, pos2 = lax.top_k(-exact, kk_sel)
+        slot_top = jnp.take_along_axis(slot_top, pos2, axis=1)
+        dists = -neg2
+    ids = jnp.take(order_g, slot_top)
     kk = dists.shape[1]
     if kk < topk:
         dists = jnp.concatenate(

@@ -181,3 +181,32 @@ def test_pq_mode_union_ivf_matches_linear():
     ids_s, _ = e.query(q2, topk=10, L=N, target_ids=tids, method="ivf")
     ids_sl, _ = e.query(q2, topk=10, target_ids=tids, method="linear")
     assert set(ids_s.tolist()) == set(ids_sl.tolist())
+
+
+def test_pq_union_op_bf16_selection_exact_rescore():
+    """Op-level: with a recall target the pq union selects in bf16 but returned
+    distances are f32-exact (match the recall_target=None path per id)."""
+    import jax.numpy as jnp
+    from rii_tpu.ops.ivf import ivf_union_scan_topk_pq
+
+    rng = np.random.RandomState(2)
+    N, D = 3000, 32
+    X = rng.random((N, D)).astype(np.float32)
+    pq = PQ(M=4, Ks=32, verbose=False).fit(X[:1000], iter=3)
+    e = Rii(pq)
+    e.scan_mode = "pq"
+    e.add_configure(X, nlist=50, iter=3)
+    dc = e._ensure_cache()
+    qd = jnp.asarray(np.ascontiguousarray(X[rng.choice(N, 8, replace=False)]))
+    args = (qd, dc["codes_g"], dc["norms_g"], dc["order_g"], dc["codewords"],
+            dc["centers_dec_v"], dc["centers_norms_v"])
+    kw = dict(w=8, topk=10, cap_u=dc["cap_v"], nlist_pad=dc["nlist_v_pad"])
+    d_x, i_x = ivf_union_scan_topk_pq(*args, **kw, recall_target=None)
+    d_b, i_b = ivf_union_scan_topk_pq(*args, **kw, recall_target=0.99)
+    # distances for common ids must agree to f32 tolerance (exact rescore)
+    for q in range(8):
+        ax = dict(zip(np.asarray(i_x)[q].tolist(), np.asarray(d_x)[q].tolist()))
+        for id_, dist in zip(np.asarray(i_b)[q].tolist(),
+                             np.asarray(d_b)[q].tolist()):
+            if id_ in ax and id_ >= 0:
+                np.testing.assert_allclose(dist, ax[id_], rtol=1e-5)
