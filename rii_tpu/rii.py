@@ -715,6 +715,11 @@ class Rii:
             # decoded window replica (gated on the decoded-cache budget);
             # pq/int8 modes keep uint8 code windows and decode in-flight
             # (ivf_union_scan_topk_pq) — N*M bytes, no budget gate needed.
+            # cap_v=256 keeps probe granularity FINER than whole lists, which
+            # buys probe diversity: at equal candidate budget, 256-slot
+            # windows measured recall@10 0.705 vs 0.641 for 1024-slot windows
+            # (which are ~1.4x faster, DMA-issue-bound) — recall parity with
+            # the reference wins the tie
             ul = build_virtual_layout(codes, norms, self._assignments(), nlist)
             vreal_c = ul["vreal"]
             cdv_c = centers_dec[np.clip(vreal_c, 0, nlist_pad - 1)]
