@@ -132,11 +132,22 @@ def build_virtual_layout(codes, norms, assignments, nlist, cap_v=256, pad_to=8):
     valid = order >= 0
     codes_grouped[valid] = codes[order[valid]]
     norms_grouped[valid] = norms[order[valid]]
+
+    # member count per virtual bucket (padding is always a suffix, so a
+    # row-index < vlen test reproduces the +inf-norms mask in kernels that
+    # cannot stream the norms)
+    vlen = np.zeros(nlist_v_pad, dtype=np.int32)
+    for b in range(nlist):
+        full, rem = divmod(int(counts[b]), cap_v)
+        vlen[vstart[b]:vstart[b] + full] = cap_v
+        if rem:
+            vlen[vstart[b] + full] = rem
     return {
         "order": order,
         "codes_grouped": codes_grouped,
         "norms_grouped": norms_grouped,
         "vreal": vreal,
+        "vlen": vlen,
         "cap_v": cap_v,
         "nlist_v": nlist_v,
         "nlist_v_pad": nlist_v_pad,

@@ -194,10 +194,12 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
 
 
 @partial(jax.jit, static_argnames=("w", "topk", "cap_u", "nlist_pad",
-                                   "recall_target"))
+                                   "recall_target", "use_pallas", "interpret"))
 def ivf_union_scan_topk_pq(queries, codes_g, norms_g, order_g, codewords,
                            centers_dec, centers_norms, w, topk, cap_u,
-                           nlist_pad, target_mask=None, recall_target=None):
+                           nlist_pad, target_mask=None, recall_target=None,
+                           vlen=None, cw_padded=None, use_pallas=False,
+                           interpret=False):
     """Memory-lean union-bucket IVF over uint8 code windows (no replica).
 
     Same probe/union/merge scaffold as :func:`ivf_union_scan_topk`, but the
@@ -240,6 +242,44 @@ def ivf_union_scan_topk_pq(queries, codes_g, norms_g, order_g, codewords,
     codes3 = codes_g.reshape(nlist_pad, cap_u, m)
     norms2 = norms_g.reshape(nlist_pad, cap_u)
     k_eff = min(topk, uc * cap_u)
+
+    if (use_pallas and target_mask is None and vlen is not None
+            and cw_padded is not None):
+        # fused kernel: code windows decoded IN VMEM (no HBM one-hot), per-
+        # 8-slot top-2 + approx merge + exact f32 rescore from the codes.
+        from rii_tpu.ops.pallas_scan import ivf_pq_window_tile_minima
+
+        flat_i = flat.astype(jnp.int32)
+        dup_i = dup.astype(jnp.int32)
+        vmin, amin = ivf_pq_window_tile_minima(
+            q_all, codes_g, cw_padded, flat_i, dup_i,
+            jnp.take(vlen, flat_i), cap_v=cap_u, interpret=interpret)
+        k_sel = min(topk, vmin.shape[1])
+        if recall_target is None:
+            _, pos = lax.top_k(-vmin, k_sel)
+        else:
+            _, pos = lax.approx_max_k(-vmin, k_sel,
+                                      recall_target=recall_target)
+        slot_top = jnp.take_along_axis(amin, pos, axis=1)  # (Q, k_sel)
+        safe = jnp.maximum(slot_top, 0)
+        cand = jnp.take(codes_g, safe.reshape(-1), axis=0)
+        dec = onehot_decode(cand, codewords, dtype=jnp.float32,
+                            precision=_PREC).reshape(qn, k_sel, -1)
+        qsq = jnp.sum(q_all * q_all, axis=-1)
+        cross = jnp.einsum("qkd,qd->qk", dec, q_all, precision=_PREC)
+        nrm_c = jnp.take(norms_g, safe)  # +inf re-masks padding slots
+        exact = nrm_c - 2.0 * cross + qsq[:, None]
+        neg, pos2 = lax.top_k(-exact, k_sel)
+        slot_top = jnp.take_along_axis(slot_top, pos2, axis=1)
+        ids = jnp.take(order_g, slot_top)
+        dists = -neg
+        if k_sel < topk:
+            dists = jnp.concatenate(
+                [dists, jnp.full((qn, topk - k_sel), jnp.inf)], axis=1)
+            ids = jnp.concatenate(
+                [ids, jnp.full((qn, topk - k_sel), -1, ids.dtype)], axis=1)
+        ids = jnp.where(jnp.isfinite(dists), ids, -1)
+        return dists, ids
 
     # selection dtype: the XLA one-hot decode materializes (rows, M, Ks) in
     # HBM (~34 KB of traffic per candidate slot) and dominates this path; bf16

@@ -562,6 +562,101 @@ def ivf_window_tile_minima(queries, decoded_g, flat, dup, cap_v,
     return vmin_t.T, amin_t.T
 
 
+def _ivf_pq_window_kernel(flat_ref, dup_ref, vlen_ref, codes_ref, qt_ref,
+                          cw_ref, min_ref, arg_ref, *, ks, cap_v):
+    """pq-mode window step: one-hot decode the window's uint8 codes IN VMEM
+    (the XLA lowering materializes the one-hot in HBM — ~34 KB of traffic per
+    candidate; here it never leaves the chip), score, per-8-slot top-2.
+
+    Padding is masked by row index >= the scalar-prefetched member count
+    (vlen), so no norms stream is needed; the caller exactly rescores the
+    final top-k from the codes.
+    """
+    u = pl.program_id(0)
+    qn = qt_ref.shape[1]
+    m = cw_ref.shape[0]
+    win = flat_ref[u]
+    pen = lax.select(dup_ref[u] != 0, jnp.float32(jnp.inf), jnp.float32(0.0))
+    vl = vlen_ref[u]
+    ntiles = cap_v // _IVF_TILE
+
+    codes = codes_ref[...]  # (cap_v, M) uint8
+    k_iota = lax.broadcasted_iota(jnp.int32, (cap_v, ks), 1)
+    dec = None
+    for mm in range(m):  # static unroll: one MXU matmul per subspace
+        col = codes[:, mm].astype(jnp.int32)
+        oh = (col[:, None] == k_iota).astype(jnp.bfloat16)  # (cap_v, Ks)
+        part = jnp.dot(oh, cw_ref[mm], preferred_element_type=jnp.float32)
+        dec = part if dec is None else dec + part  # (cap_v, D) f32
+
+    nrm = jnp.sum(dec * dec, axis=1, keepdims=True)  # (cap_v, 1)
+    cross = jnp.dot(dec.astype(jnp.bfloat16), qt_ref[...],
+                    preferred_element_type=jnp.float32)  # (cap_v, Q)
+    row_id = lax.broadcasted_iota(jnp.int32, (cap_v, 1), 0)
+    pad_pen = jnp.where(row_id < vl, 0.0, jnp.inf).astype(jnp.float32)
+    scores = nrm - 2.0 * cross + pen + pad_pen  # (cap_v, Q)
+
+    st = scores.reshape(ntiles, _IVF_TILE, qn)
+    row = lax.broadcasted_iota(jnp.int32, (ntiles, _IVF_TILE, qn), 1)
+    base = win * cap_v + lax.broadcasted_iota(
+        jnp.int32, (ntiles, qn), 0) * _IVF_TILE
+    vmin1 = jnp.min(st, axis=1)
+    is1 = st == vmin1[:, None, :]
+    amin1 = jnp.min(jnp.where(is1, row, _IVF_TILE), axis=1)
+    st2 = jnp.where(is1 & (row == amin1[:, None, :]), jnp.inf, st)
+    vmin2 = jnp.min(st2, axis=1)
+    amin2 = jnp.min(jnp.where(st2 == vmin2[:, None, :], row, _IVF_TILE),
+                    axis=1)
+    amin1 = jnp.minimum(amin1, _IVF_TILE - 1)
+    amin2 = jnp.minimum(amin2, _IVF_TILE - 1)
+    min_ref[0:ntiles, :] = vmin1
+    min_ref[ntiles:2 * ntiles, :] = vmin2
+    arg_ref[0:ntiles, :] = base + amin1
+    arg_ref[ntiles:2 * ntiles, :] = base + amin2
+
+
+@partial(jax.jit, static_argnames=("cap_v", "interpret"))
+def ivf_pq_window_tile_minima(queries, codes_g, cw_padded, flat, dup, vlen,
+                              cap_v, interpret=False):
+    """Memory-lean IVF window scan: per-8-slot top-2 over probed uint8 code
+    windows, decoded in VMEM. Same output contract as ivf_window_tile_minima
+    (callers exactly rescore). cw_padded from :func:`build_padded_codewords`.
+    """
+    total, m = codes_g.shape
+    ks = cw_padded.shape[1]
+    d = cw_padded.shape[2]
+    qn = queries.shape[0]
+    u = flat.shape[0]
+    ntiles = cap_v // _IVF_TILE
+    assert cap_v % _IVF_TILE == 0 and total % cap_v == 0
+    qt = queries.astype(jnp.bfloat16).T  # (D, Q)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(u,),
+        in_specs=[
+            pl.BlockSpec((cap_v, m), lambda i, f_, d_, v_: (f_[i], 0)),
+            pl.BlockSpec((d, qn), lambda i, f_, d_, v_: (0, 0)),
+            pl.BlockSpec((m, ks, d), lambda i, f_, d_, v_: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2 * ntiles, qn), lambda i, f_, d_, v_: (i, 0)),
+            pl.BlockSpec((2 * ntiles, qn), lambda i, f_, d_, v_: (i, 0)),
+        ],
+    )
+    kernel = partial(_ivf_pq_window_kernel, ks=ks, cap_v=cap_v)
+    vmin_t, amin_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((u * 2 * ntiles, qn), jnp.float32),
+            jax.ShapeDtypeStruct((u * 2 * ntiles, qn), jnp.int32),
+        ],
+        interpret=interpret,
+    )(flat, dup, vlen, codes_g, qt, cw_padded)
+    return vmin_t.T, amin_t.T
+
+
 def prepare_pq_scan_inputs(codes, norms, codewords, cap=None, blk=1024):
     """Host-side packing for pq_scan_topk: pad codes/norms to cap.
 

@@ -456,10 +456,10 @@ class Rii:
 
     def _query_ivf_batch(self, queries, topk, tids, L, force_full=False):
         dc = self._ensure_cache()
-        # the fused window kernel path handles the no-subset case; subset
+        # the fused window kernel paths handle the no-subset case; subset
         # masks ride the XLA union path (masking needs the f32 norms stream)
-        use_pallas_ivf = ("decoded_g" in dc and tids is None
-                          and self._use_pallas_scan())
+        use_pallas_ivf = (("decoded_g" in dc or "codes_g" in dc)
+                          and tids is None and self._use_pallas_scan())
         qp, qn = _pad_queries(queries, lo=8 if use_pallas_ivf else 1)
         qd = jnp.asarray(qp)
         s = None if tids is None else len(tids)
@@ -504,13 +504,17 @@ class Rii:
                     target_mask=tm, recall_target=rt,
                     use_pallas=use_pallas_ivf)
             else:
-                # memory-lean: uint8 code windows, decoded in-flight
+                # memory-lean: uint8 code windows, decoded in-flight (in VMEM
+                # via the fused kernel on hardware)
+                use_pq_pallas = (tids is None and self._use_pallas_scan()
+                                 and "pallas_cw" in dc)
                 d, i = ivf_union_scan_topk_pq(
                     qd, dc["codes_g"], dc["norms_g"], dc["order_g"],
                     dc["codewords"], dc["centers_dec_v"],
                     dc["centers_norms_v"], w=wv, topk=topk, cap_u=dc["cap_v"],
                     nlist_pad=dc["nlist_v_pad"], target_mask=tm,
-                    recall_target=rt)
+                    recall_target=rt, vlen=dc.get("vlen_g"),
+                    cw_padded=dc.get("pallas_cw"), use_pallas=use_pq_pallas)
         elif "decoded_flat" in dc:
             # fully query-batched probe over the bf16 replica
             d, i = ivf_scan_topk_decoded(
@@ -748,6 +752,10 @@ class Rii:
                                             jnp.bfloat16(1e15), dec_g)
             else:
                 dc["codes_g"] = jnp.asarray(ul["codes_grouped"])
+                dc["vlen_g"] = jnp.asarray(ul["vlen"])
+                if "pallas_cw" not in dc and self._use_pallas_scan():
+                    from rii_tpu.ops.pallas_scan import build_padded_codewords
+                    dc["pallas_cw"] = build_padded_codewords(cw)
         self._dc = dc
         return dc
 
