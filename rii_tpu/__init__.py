@@ -46,7 +46,8 @@ _enable_persistent_compile_cache()
 from rii_tpu.models.pq import PQ  # noqa: E402
 from rii_tpu.models.opq import OPQ  # noqa: E402
 from rii_tpu.rii import Rii  # noqa: E402
+from rii_tpu.serving import QueryServer  # noqa: E402
 
 __version__ = "0.1.0"
 
-__all__ = ["PQ", "OPQ", "Rii", "__version__"]
+__all__ = ["PQ", "OPQ", "Rii", "QueryServer", "__version__"]
