@@ -485,10 +485,12 @@ class Rii:
             if force_full:
                 wv = dc["nlist_v_pad"]
             probe_full = wv >= dc["nlist_v"]
-            if probe_full or qd.shape[0] * wv >= dc["nlist_v"]:
-                # the batch's probe union covers every bucket: identical
-                # semantics to a full scan, so take the contiguous-stream
-                # linear path (no window bookkeeping, full HBM efficiency)
+            union_slots = min(qd.shape[0] * wv, dc["nlist_v"]) * dc["cap_v"]
+            if probe_full or 2 * union_slots >= dc["cap"]:
+                # the batch's probe union covers (most of) the database: the
+                # contiguous-stream linear scan reads every row at ~2x the
+                # window scan's effective bandwidth, so it wins before full
+                # coverage; semantics stay a candidate superset of the probes
                 return self._query_linear_batch(queries, topk, tids)
             tm = None
             if tids is not None:
