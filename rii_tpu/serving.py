@@ -157,9 +157,7 @@ class QueryServer:
             for r in group:
                 n = r.queries.shape[0]
                 i, d = ids[off:off + n], dists[off:off + n]
-                if n == 1 and r.queries.ndim == 2 and r.queries.shape[0] == 1:
-                    pass  # keep 2-D; callers index [0] if they sent (D,)
-                r.future.set_result((i, d))
+                r.future.set_result((i, d))  # always 2-D; callers index [0]
                 self._lat.append(now - r.t_submit)
                 self._served += n
                 off += n
