@@ -113,7 +113,7 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
         else:
             # bound the per-step output block (wpb * 2*cap_v/8 * Q * 8B) to
             # ~4 MB so large windows / big batches stay inside VMEM
-            wpb = max(1, min(16, (1 << 22) // max(1, (cap_u // 4) * qn * 8)))
+            wpb = max(1, min(32, (1 << 22) // max(1, (cap_u // 4) * qn * 8)))
             upad = -(-flat_i.shape[0] // wpb) * wpb - flat_i.shape[0]
             if upad:
                 flat_i = jnp.pad(flat_i, (0, upad), constant_values=0)
