@@ -499,12 +499,16 @@ class Rii:
                 tm = jnp.take(jnp.asarray(mask),
                               jnp.clip(dc["order_g"], 0, dc["cap"] - 1))
             if "decoded_g" in dc:
+                # the window kernel amortizes its per-copy cost only on big
+                # unions; the XLA gather path wins below ~2k windows
+                # (measured: U=512 0.19 vs 0.29 ms, U=4096 2.8 vs 1.8 ms)
+                u_est = min(qd.shape[0] * wv, dc["nlist_v_pad"])
                 d, i = ivf_union_scan_topk(
                     qd, dc["decoded_g"], dc["norms_g"], dc["order_g"],
                     dc["centers_dec_v"], dc["centers_norms_v"], w=wv,
                     topk=topk, cap_u=dc["cap_v"], nlist_pad=dc["nlist_v_pad"],
                     target_mask=tm, recall_target=rt,
-                    use_pallas=use_pallas_ivf)
+                    use_pallas=use_pallas_ivf and u_est >= 2048)
             else:
                 # memory-lean: uint8 code windows, decoded in-flight (in VMEM
                 # via the fused kernel on hardware)
