@@ -107,18 +107,24 @@ class ShardedRii:
                            cn[np.clip(vreal, 0, cn.shape[0] - 1)],
                            np.inf).astype(np.float32)
             codes_g = jax.device_put(ul["codes_grouped"], sh)
+            order_g = jax.device_put(ul["order"], sh1)
+
+            # padding rows get the large sentinel the Pallas window kernel
+            # needs (its norms are derived in kernel; see ops/pallas_scan)
+            def _dec_sentinel(cg, cw, og):
+                dec = build_decoded_cache(cg, cw, block=ul["cap_v"])
+                return jnp.where((og < 0)[:, None], jnp.bfloat16(1e15), dec)
+
             self.ivf = {
                 "cap_v": ul["cap_v"],
                 "nlist_v": ul["nlist_v"],
                 "nlist_v_pad": ul["nlist_v_pad"],
-                "order_g": jax.device_put(ul["order"], sh1),
+                "order_g": order_g,
                 "norms_g": jax.device_put(ul["norms_grouped"], sh1),
                 "centers_dec_v": jax.device_put(cdv, sh),
                 "centers_norms_v": jax.device_put(cnv, sh1),
-                "decoded_g": jax.jit(
-                    build_decoded_cache, static_argnames=("block",),
-                    out_shardings=sh)(codes_g, self.codewords,
-                                      block=ul["cap_v"]),
+                "decoded_g": jax.jit(_dec_sentinel, out_shardings=sh)(
+                    codes_g, self.codewords, order_g),
             }
 
     def _scan_fn(self, topk):
@@ -169,13 +175,18 @@ class ShardedRii:
         cap_v = iv["cap_v"]
         rt = self.topk_recall
 
+        # the fused window kernel needs accelerator Mosaic lowering; the CPU
+        # (virtual-mesh) path keeps the XLA union scan
+        use_pallas = jax.default_backend() != "cpu" and rt is not None
+
         def _local(queries, dec_l, norms_l, order_l, cdec_l, cnorm_l):
             # per-shard local probing + union scan over the shard's windows;
             # order_l already holds ORIGINAL (global) ids, so no offset needed
             d_l, i_l = ivf_union_scan_topk(
                 queries, dec_l, norms_l, order_l, cdec_l, cnorm_l,
                 w=min(wv_local, nv_l), topk=topk, cap_u=cap_v,
-                nlist_pad=nv_l, recall_target=rt)
+                nlist_pad=nv_l, recall_target=rt,
+                use_pallas=use_pallas)
             d_all = lax.all_gather(d_l, DATA_AXIS)  # (ndev, Q, k)
             g_all = lax.all_gather(i_l, DATA_AXIS)
             qn = queries.shape[0]
@@ -219,11 +230,17 @@ class ShardedRii:
         wv = int(np.round(float(L) * iv["nlist_v"] / max(1, e.N))) + slack
         nv_l = iv["nlist_v_pad"] // self.ndev
         wv_local = min(nv_l, max(1, _pow2(-(-wv // self.ndev) * 2)))
+        qn = queries.shape[0]
+        qpad = _pow2(max(8, qn))  # >=8 for the fused window kernel
+        if qpad != qn:
+            queries = np.concatenate(
+                [queries, np.broadcast_to(queries[:1], (qpad - qn,
+                                                        queries.shape[1]))])
         d, i = self._ivf_fn(topk, wv_local)(
             jnp.asarray(queries), iv["decoded_g"], iv["norms_g"],
             iv["order_g"], iv["centers_dec_v"], iv["centers_norms_v"])
-        return (np.asarray(i).astype(np.int64),
-                np.asarray(d).astype(np.float64))
+        return (np.asarray(i)[:qn].astype(np.int64),
+                np.asarray(d)[:qn].astype(np.float64))
 
     def query_batch(self, queries, topk=1):
         """Exact ADC scan over all shards; returns (ids int64, dists float64)."""
