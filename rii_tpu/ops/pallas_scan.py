@@ -265,10 +265,16 @@ def replica_i8_scan_topk(queries, decoded_i8, col_scales, norms_col,
     from rii_tpu.ops.decode import onehot_decode
     safe = jnp.maximum(ids_a, 0)
     cand_codes = jnp.take(codes, safe, axis=0)  # (Q, k_fetch, M)
+    # bf16 one-hot: the f32 intermediate costs ~650 MB of HBM traffic at
+    # Q=1024, k_fetch=20 (the dominant cost of this path); accuracy stays in
+    # the documented bf16-table-rounding class, norms remain exact f32
     dec = onehot_decode(cand_codes.reshape(qn * k_fetch, -1),
-                        codewords).reshape(qn, k_fetch, -1)
+                        codewords, dtype=jnp.bfloat16,
+                        precision=lax.Precision.DEFAULT
+                        ).reshape(qn, k_fetch, -1)
     q = queries.astype(jnp.float32)
-    cross = jnp.einsum("qkd,qd->qk", dec, q)
+    cross = jnp.einsum("qkd,qd->qk", dec, q.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
     norms_c = jnp.take(norms_col[:, 0], safe)
     qsq = jnp.sum(q * q, axis=1)
     exact = jnp.where(ids_a >= 0, norms_c - 2.0 * cross + qsq[:, None], jnp.inf)
