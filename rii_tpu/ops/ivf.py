@@ -122,10 +122,10 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
                 q_all, decoded_g, flat_i, dup_i, cap_v=cap_u, wpb=wpb)
         k_eff = min(topk, vmin.shape[1])
         if recall_target is None:
-            _, pos = lax.top_k(-vmin, k_eff)
+            neg_sel, pos = lax.top_k(-vmin, k_eff)
         else:
-            _, pos = lax.approx_max_k(-vmin, k_eff,
-                                      recall_target=recall_target)
+            neg_sel, pos = lax.approx_max_k(-vmin, k_eff,
+                                            recall_target=recall_target)
         slot_top = jnp.take_along_axis(amin, pos, axis=1)  # (Q, k_eff)
         # exact rescore: f32 norms + f32-accumulated cross on the k_eff rows
         rows = jnp.take(decoded_g, jnp.maximum(slot_top, 0), axis=0)
@@ -134,6 +134,9 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
         nrm_c = jnp.take(norms_g, jnp.maximum(slot_top, 0))
         qsq = jnp.sum(q_all * q_all, axis=-1)
         exact = nrm_c - 2.0 * cross + qsq[:, None]
+        # +inf-masked duplicate-window candidates (pen=+inf in kernel) point at
+        # real slots whose norms are finite: keep them masked so ids are unique
+        exact = jnp.where(jnp.isfinite(neg_sel), exact, jnp.inf)
         neg, pos2 = lax.top_k(-exact, k_eff)
         slot_top = jnp.take_along_axis(slot_top, pos2, axis=1)
         ids = jnp.take(order_g, slot_top)
@@ -256,10 +259,10 @@ def ivf_union_scan_topk_pq(queries, codes_g, norms_g, order_g, codewords,
             jnp.take(vlen, flat_i), cap_v=cap_u, interpret=interpret)
         k_sel = min(topk, vmin.shape[1])
         if recall_target is None:
-            _, pos = lax.top_k(-vmin, k_sel)
+            neg_sel, pos = lax.top_k(-vmin, k_sel)
         else:
-            _, pos = lax.approx_max_k(-vmin, k_sel,
-                                      recall_target=recall_target)
+            neg_sel, pos = lax.approx_max_k(-vmin, k_sel,
+                                            recall_target=recall_target)
         slot_top = jnp.take_along_axis(amin, pos, axis=1)  # (Q, k_sel)
         safe = jnp.maximum(slot_top, 0)
         cand = jnp.take(codes_g, safe.reshape(-1), axis=0)
@@ -269,6 +272,9 @@ def ivf_union_scan_topk_pq(queries, codes_g, norms_g, order_g, codewords,
         cross = jnp.einsum("qkd,qd->qk", dec, q_all, precision=_PREC)
         nrm_c = jnp.take(norms_g, safe)  # +inf re-masks padding slots
         exact = nrm_c - 2.0 * cross + qsq[:, None]
+        # dup-window (+inf-penalized) selections must stay masked: their codes
+        # decode to finite distances and would duplicate ids otherwise
+        exact = jnp.where(jnp.isfinite(neg_sel), exact, jnp.inf)
         neg, pos2 = lax.top_k(-exact, k_sel)
         slot_top = jnp.take_along_axis(slot_top, pos2, axis=1)
         ids = jnp.take(order_g, slot_top)

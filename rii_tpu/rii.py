@@ -745,8 +745,14 @@ class Rii:
                 "centers_norms_v": jnp.asarray(cnv_c.astype(np.float32)),
             })
             d_dim = self.M * cw.shape[2]
+            # gate the COMBINED bf16 footprint: the linear replica
+            # (decoded_flat, cap rows) already holds cap*d*2 bytes, so the
+            # window replica is only added if the sum stays inside the budget
+            # (otherwise deployments sized to the knob could OOM at ~2x)
+            flat_bytes = cap * d_dim * 2 if "decoded_flat" in dc else 0
             if (resolved == "bf16"
-                    and ul["total"] * d_dim * 2 <= self.decoded_cache_budget):
+                    and flat_bytes + ul["total"] * d_dim * 2
+                    <= self.decoded_cache_budget):
                 codes_g = jnp.asarray(ul["codes_grouped"])
                 dec_g = build_decoded_cache(codes_g, dc["codewords"],
                                             block=2048 if ul["total"]

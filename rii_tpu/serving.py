@@ -11,6 +11,8 @@ thread drains the queue, groups compatible requests (same topk/L/method —
 target_ids requests are dispatched singly since the mask is per-batch), runs
 ``query_batch`` once per group, and resolves the Futures. Latency knob:
 ``max_wait_ms`` bounds how long a lone request waits for batch-mates.
+Backpressure knob: ``max_queue`` bounds pending requests; ``submit`` blocks
+(or raises after ``submit_timeout_s``) when the queue is full.
 """
 
 import queue
@@ -23,14 +25,15 @@ import numpy as np
 
 class _Request:
     __slots__ = ("queries", "topk", "L", "target_ids", "method", "future",
-                 "t_submit")
+                 "t_submit", "squeeze")
 
-    def __init__(self, queries, topk, L, target_ids, method):
+    def __init__(self, queries, topk, L, target_ids, method, squeeze):
         self.queries = queries
         self.topk = topk
         self.L = L
         self.target_ids = target_ids
         self.method = method
+        self.squeeze = squeeze
         self.future = Future()
         self.t_submit = time.perf_counter()
 
@@ -42,6 +45,10 @@ class QueryServer:
         engine: a built :class:`rii_tpu.Rii` (reconfigured, N > 0).
         max_batch: maximum queries per device dispatch.
         max_wait_ms: max time a request waits for batch-mates before dispatch.
+        max_queue: max pending requests before ``submit`` applies backpressure
+            (0 = unbounded).
+        submit_timeout_s: how long a backpressured ``submit`` blocks before
+            raising ``queue.Full`` (None = block indefinitely).
 
     Usage::
 
@@ -52,13 +59,17 @@ class QueryServer:
         srv.stop()
     """
 
-    def __init__(self, engine, max_batch=1024, max_wait_ms=2.0):
+    def __init__(self, engine, max_batch=1024, max_wait_ms=2.0, max_queue=0,
+                 submit_timeout_s=None):
         self.engine = engine
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
-        self._q = queue.Queue()
+        self.submit_timeout_s = submit_timeout_s
+        self._q = queue.Queue(maxsize=int(max_queue))
+        self._held = None  # incompatible request deferred to the next group
         self._thread = None
         self._running = False
+        self._stopped = False
         self._lat = []  # end-to-end seconds per request (bounded window)
         self._served = 0
         self._t_start = None
@@ -75,10 +86,28 @@ class QueryServer:
         return self
 
     def stop(self):
+        """Stop the dispatcher; pending futures fail with RuntimeError.
+
+        Subsequent ``submit`` calls raise. Requests already dispatched to the
+        device complete normally.
+        """
         self._running = False
+        self._stopped = True
         if self._thread is not None:
             self._thread.join(timeout=10)
             self._thread = None
+        # drain anything still pending so callers blocked on result() wake up
+        leftovers = []
+        if self._held is not None:
+            leftovers.append(self._held)
+            self._held = None
+        while True:
+            try:
+                leftovers.append(self._q.get_nowait())
+            except queue.Empty:
+                break
+        for r in leftovers:
+            r.future.set_exception(RuntimeError("server stopped"))
 
     def __enter__(self):
         return self.start()
@@ -88,12 +117,20 @@ class QueryServer:
 
     def submit(self, queries, topk=1, L=None, target_ids=None, method="auto"):
         """Enqueue 1 query (D,) or a mini-batch (q, D). Returns a Future whose
-        result is (ids (q, topk) int64, dists (q, topk) float64) — squeezed to
-        1-D for single-query submissions."""
-        queries = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
-        assert queries.shape[0] <= self.max_batch, "mini-batch exceeds max_batch"
-        req = _Request(queries, int(topk), L, target_ids, method)
-        self._q.put(req)
+        result is (ids, dists) — shaped (q, topk) for mini-batches and
+        squeezed to 1-D (topk,) for single-query (D,) submissions, matching
+        the reference's query() contract (/root/reference/rii/rii.py:320).
+
+        Raises RuntimeError after stop(); raises queue.Full when max_queue
+        backpressure holds for longer than submit_timeout_s."""
+        if self._stopped:
+            raise RuntimeError("server stopped")
+        arr = np.asarray(queries)
+        squeeze = arr.ndim == 1
+        arr = np.ascontiguousarray(np.atleast_2d(arr), dtype=np.float32)
+        assert arr.shape[0] <= self.max_batch, "mini-batch exceeds max_batch"
+        req = _Request(arr, int(topk), L, target_ids, method, squeeze)
+        self._q.put(req, timeout=self.submit_timeout_s)
         return req.future
 
     def stats(self):
@@ -109,10 +146,21 @@ class QueryServer:
 
     # ------------------------------------------------------------------ #
 
+    def _next_request(self, timeout):
+        """FIFO head: the held-back incompatible request, else the queue."""
+        if self._held is not None:
+            r, self._held = self._held, None
+            return r
+        return self._q.get(timeout=timeout)
+
     def _take_group(self):
-        """Block for one request, then drain compatible ones up to max_batch."""
+        """Block for one request, then drain compatible ones up to max_batch.
+
+        An incompatible request is HELD (not re-queued at the back): it leads
+        the next group, preserving FIFO under a steady compatible stream.
+        """
         try:
-            first = self._q.get(timeout=0.05)
+            first = self._next_request(timeout=0.05)
         except queue.Empty:
             return None
         group = [first]
@@ -131,7 +179,7 @@ class QueryServer:
             if (nxt.target_ids is not None or nxt.topk != first.topk
                     or nxt.L != first.L or nxt.method != first.method
                     or total + nxt.queries.shape[0] > self.max_batch):
-                self._q.put(nxt)  # incompatible: handled by a later group
+                self._held = nxt  # incompatible: leads the NEXT group (FIFO)
                 break
             group.append(nxt)
             total += nxt.queries.shape[0]
@@ -157,7 +205,9 @@ class QueryServer:
             for r in group:
                 n = r.queries.shape[0]
                 i, d = ids[off:off + n], dists[off:off + n]
-                r.future.set_result((i, d))  # always 2-D; callers index [0]
+                if r.squeeze:
+                    i, d = i[0], d[0]
+                r.future.set_result((i, d))
                 self._lat.append(now - r.t_submit)
                 self._served += n
                 off += n

@@ -1,7 +1,9 @@
 """QueryServer: continuous batching must return exactly what direct
 query_batch returns, under concurrent submission."""
 
+import queue as queue_mod
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -21,14 +23,27 @@ def engine():
     return e, X
 
 
-def test_single_request_matches_direct(engine):
+def test_single_request_matches_direct_and_squeezes(engine):
     e, X = engine
     with QueryServer(e) as srv:
-        fut = srv.submit(X[3], topk=5)
+        fut = srv.submit(X[3], topk=5)  # (D,) submission
         ids, dists = fut.result(timeout=60)
+    # single-query (D,) submissions are squeezed to 1-D (the documented
+    # contract, matching the reference's query())
+    assert ids.shape == (5,) and dists.shape == (5,)
     ids_d, dists_d = e.query_batch(X[3:4], topk=5)
+    np.testing.assert_array_equal(ids, ids_d[0])
+    np.testing.assert_allclose(dists, dists_d[0], rtol=1e-6)
+
+
+def test_minibatch_request_stays_2d(engine):
+    e, X = engine
+    with QueryServer(e) as srv:
+        fut = srv.submit(X[3:6], topk=5)  # (3, D) submission
+        ids, dists = fut.result(timeout=60)
+    assert ids.shape == (3, 5) and dists.shape == (3, 5)
+    ids_d, _ = e.query_batch(np.ascontiguousarray(X[3:6]), topk=5)
     np.testing.assert_array_equal(ids, ids_d)
-    np.testing.assert_allclose(dists, dists_d, rtol=1e-6)
 
 
 def test_concurrent_submissions_batch_and_match(engine):
@@ -54,7 +69,7 @@ def test_concurrent_submissions_batch_and_match(engine):
 
     for i in range(32):
         ids, dists = results[i]
-        np.testing.assert_array_equal(ids[0], direct_ids[i])
+        np.testing.assert_array_equal(ids, direct_ids[i])
 
     stats = srv.stats()
     assert stats["served"] == 32
@@ -68,11 +83,32 @@ def test_mixed_topk_groups(engine):
         f2 = srv.submit(X[2], topk=7)  # incompatible topk: separate dispatch
         i1, d1 = f1.result(timeout=60)
         i2, d2 = f2.result(timeout=60)
-    assert i1.shape == (1, 3) and i2.shape == (1, 7)
+    assert i1.shape == (3,) and i2.shape == (7,)
     d1_ref, _ = e.query_batch(X[1:2], topk=3)
     d2_ref, _ = e.query_batch(X[2:3], topk=7)
-    np.testing.assert_array_equal(i1, d1_ref)
-    np.testing.assert_array_equal(i2, d2_ref)
+    np.testing.assert_array_equal(i1, d1_ref[0])
+    np.testing.assert_array_equal(i2, d2_ref[0])
+
+
+def test_incompatible_request_preserves_fifo(engine):
+    """An incompatible request must lead the NEXT group, not be re-queued at
+    the back (starvation under a steady compatible stream)."""
+    e, X = engine
+    srv = QueryServer(e, max_wait_ms=50)
+    # enqueue before starting so the dispatcher sees them all at once
+    f_a = srv.submit(X[1], topk=3)
+    f_odd = srv.submit(X[2], topk=7)   # incompatible with the topk=3 group
+    f_b = srv.submit(X[3], topk=3)
+    followers = [srv.submit(X[4 + i], topk=3) for i in range(8)]
+    srv.start()
+    try:
+        # the odd one must resolve even while compatible traffic keeps coming
+        i_odd, _ = f_odd.result(timeout=60)
+        assert i_odd.shape == (7,)
+        for f in [f_a, f_b] + followers:
+            f.result(timeout=60)
+    finally:
+        srv.stop()
 
 
 def test_target_ids_request(engine):
@@ -81,7 +117,7 @@ def test_target_ids_request(engine):
     with QueryServer(e) as srv:
         fut = srv.submit(X[5], topk=5, target_ids=tids)
         ids, _ = fut.result(timeout=60)
-    assert set(ids[0].tolist()) <= set(tids.tolist())
+    assert set(ids.tolist()) <= set(tids.tolist())
 
 
 def test_error_propagates(engine):
@@ -90,3 +126,25 @@ def test_error_propagates(engine):
         fut = srv.submit(X[0], topk=e.N + 1)  # invalid topk -> AssertionError
         with pytest.raises(AssertionError):
             fut.result(timeout=60)
+
+
+def test_stop_drains_pending_and_rejects_new(engine):
+    e, X = engine
+    srv = QueryServer(e)
+    # never started: pending futures must still be failed by stop()
+    fut = srv.submit(X[0], topk=3)
+    srv.stop()
+    with pytest.raises(RuntimeError, match="server stopped"):
+        fut.result(timeout=5)
+    with pytest.raises(RuntimeError, match="server stopped"):
+        srv.submit(X[1], topk=3)
+
+
+def test_backpressure_bounded_queue(engine):
+    e, X = engine
+    srv = QueryServer(e, max_queue=2, submit_timeout_s=0.05)
+    srv.submit(X[0], topk=3)
+    srv.submit(X[1], topk=3)
+    with pytest.raises(queue_mod.Full):
+        srv.submit(X[2], topk=3)  # queue full, dispatcher not running
+    srv.stop()
