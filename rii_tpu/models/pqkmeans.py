@@ -28,6 +28,15 @@ Semantics preserved from the reference:
 
 Codes stay uint8 in memory; blocks are decoded on the fly (one-hot matmul), so
 nothing is ever materialized at (N, D) scale.
+
+Deterministic reduction structure: center statistics (decoded sums / counts)
+are accumulated in a fixed two-level order — sequentially within each of
+``_CANON_GROUPS`` contiguous block groups, then sequentially over the group
+partials. The distributed fit (parallel/build.py) assigns whole groups to mesh
+devices and combines the all-gathered group partials with the SAME sequential
+combine, so a mesh reconfigure is bit-identical to the single-device one
+whenever the device count divides _CANON_GROUPS (f32 addition is not
+associative; identical structure, not just identical math, is required).
 """
 
 from functools import partial
@@ -41,6 +50,7 @@ from jax import lax
 from rii_tpu.ops.decode import onehot_decode
 
 _PREC = lax.Precision.HIGHEST
+_CANON_GROUPS = 8  # canonical reduction-group count (see module docstring)
 
 
 def _pow2_at_least(n, lo):
@@ -91,15 +101,52 @@ def _update_centers(codewords, centers_codes, sums, counts):
     return jnp.where(counts[:, None] > 0, new_codes, centers_codes)
 
 
+def _group_stats(codewords, codes_gb, weights_gb, centers):
+    """Per-group center stats: scan each group's blocks sequentially.
+
+    codes_gb: (G, nb_l, B, M); returns (sums_g (G, K, D), counts_g (G, K)).
+    """
+    def g_body(_, args):
+        cb, wb = args  # (nb_l, B, M), (nb_l, B)
+        _, _, s, c = _assign_blocks(codewords, cb, wb, centers, collect=True)
+        return 0, (s, c)
+
+    _, (sums_g, counts_g) = lax.scan(g_body, 0, (codes_gb, weights_gb))
+    return sums_g, counts_g
+
+
+def _combine_group_stats(sums_g, counts_g):
+    """Sequential (left-associated) sum over group partials — the ONE combine
+    order shared by the single-device and mesh fits (bit-identity contract)."""
+    def body(carry, x):
+        s, c = carry
+        sg, cg = x
+        return (s + sg, c + cg), 0
+
+    init = (jnp.zeros_like(sums_g[0]), jnp.zeros_like(counts_g[0]))
+    (sums, counts), _ = lax.scan(body, init, (sums_g, counts_g))
+    return sums, counts
+
+
+def _assign_groups(codewords, codes_gb, weights_gb, centers):
+    """Assignment-only pass over grouped blocks: (G, nb_l, B) assigns/errors."""
+    def g_body(_, args):
+        cb, wb = args
+        a, e, _, _ = _assign_blocks(codewords, cb, wb, centers, collect=False)
+        return 0, (a, e)
+
+    _, (assigns, errors) = lax.scan(g_body, 0, (codes_gb, weights_gb))
+    return assigns, errors
+
+
 @partial(jax.jit, static_argnames=("iters",))
-def _fit(codewords, codes_blocks, weights_blocks, centers0, iters):
+def _fit(codewords, codes_gb, weights_gb, centers0, iters):
     centers = centers0
     for _ in range(iters - 1):
-        _, _, sums, counts = _assign_blocks(
-            codewords, codes_blocks, weights_blocks, centers, collect=True)
+        sums_g, counts_g = _group_stats(codewords, codes_gb, weights_gb, centers)
+        sums, counts = _combine_group_stats(sums_g, counts_g)
         centers = _update_centers(codewords, centers, sums, counts)
-    assigns, errors, _, _ = _assign_blocks(
-        codewords, codes_blocks, weights_blocks, centers, collect=False)
+    assigns, errors = _assign_groups(codewords, codes_gb, weights_gb, centers)
     return centers, assigns, errors
 
 
@@ -110,16 +157,35 @@ def _predict(codewords, codes_blocks, weights_blocks, centers_codes):
     return assigns
 
 
-def _pad_blocks(codes, block):
-    """(N, M) -> codes_blocks (nb, B, M) int32, weights (nb, B) f32."""
+def _pad_blocks(codes, block, n_blocks=None):
+    """(N, M) -> codes_blocks (nb, B, M) int32, weights (nb, B) f32.
+
+    Padding rows carry weight 0 (a +0.0 contribution leaves f32 sums bitwise
+    unchanged); n_blocks forces extra all-padding blocks so nb is divisible by
+    the group/device count.
+    """
     n, m = codes.shape
-    npad = -(-n // block) * block
+    nb = -(-n // block)
+    if n_blocks is not None:
+        assert n_blocks >= nb
+        nb = n_blocks
+    npad = nb * block
     cb = np.zeros((npad, m), dtype=np.int32)
     cb[:n] = codes
     w = np.zeros((npad,), dtype=np.float32)
     w[:n] = 1.0
-    return (jnp.asarray(cb.reshape(-1, block, m)),
-            jnp.asarray(w.reshape(-1, block)))
+    return (jnp.asarray(cb.reshape(nb, block, m)),
+            jnp.asarray(w.reshape(nb, block)))
+
+
+def fit_layout(n, block=4096, groups=_CANON_GROUPS):
+    """The (blk, nb) grouped-block layout for an n-row fit. Shared by the
+    single-device fit and parallel/build.py's mesh fit (the layouts must be
+    identical for the results to be)."""
+    blk = min(block, _pow2_at_least(-(-n // groups), 32))
+    nb_raw = -(-n // blk)
+    nb = -(-nb_raw // groups) * groups
+    return blk, nb
 
 
 def pqkmeans_fit(codewords, codes, k, iters=5, seed=0, block=4096, verbose=False):
@@ -142,11 +208,13 @@ def pqkmeans_fit(codewords, codes, k, iters=5, seed=0, block=4096, verbose=False
     pick = np.random.RandomState(seed).permutation(n)[:k]
     centers0 = jnp.asarray(codes[pick].astype(np.int32))
     cw = jnp.asarray(codewords, dtype=jnp.float32)
-    blk = min(block, _pow2_at_least(n, 256))
-    codes_blocks, weights_blocks = _pad_blocks(codes, blk)
-    centers, assigns, errors = _fit(cw, codes_blocks, weights_blocks, centers0, int(iters))
+    g = _CANON_GROUPS
+    blk, nb = fit_layout(n, block=block, groups=g)
+    codes_blocks, weights_blocks = _pad_blocks(codes, blk, n_blocks=nb)
+    codes_gb = codes_blocks.reshape(g, nb // g, blk, -1)
+    weights_gb = weights_blocks.reshape(g, nb // g, blk)
+    centers, assigns, errors = _fit(cw, codes_gb, weights_gb, centers0, int(iters))
     if verbose:
-        w = np.asarray(weights_blocks).reshape(-1)[: n]
         err = float(np.asarray(errors).reshape(-1)[:n].mean())
         print(f"pqkmeans: k={k}, N={n}, iters={iters}, mean err {err:.6f}")
     return (np.asarray(centers, dtype=np.uint8),

@@ -3,11 +3,28 @@
 The reference scales within one process via OpenMP threads (SURVEY.md 2.5); the
 TPU equivalent is data-parallel shards over ICI/DCN. For multi-host pods call
 :func:`init_distributed` first (jax.distributed), build the same Rii state on
-every host, then wrap it — `jax.make_array_from_process_local_data` and the
-mesh place each host's shard.
+every host, then wrap it — :func:`rii_tpu.parallel.mesh.put_sharded` transfers
+only each host's addressable shard (`jax.make_array_from_process_local_data`).
+
+Capability parity with the single-chip engine:
+
+- ``target_ids`` subset search on BOTH query paths (the reference's headline
+  feature, /root/reference/rii/rii.py:239-246): the sorted global id set is
+  replicated and each shard filters by searchsorted membership against its
+  local rows/windows — no per-shard mask materialization on the host.
+- memory-lean pq-mode IVF (uint8 code windows decoded in flight,
+  ops/ivf.ivf_union_scan_topk_pq) when the bf16 window replica is not kept —
+  the big-N configuration (/root/reference/examples/benchmark/run_sift1b.py:61-72)
+  where sharding matters most.
+- ``add`` / ``reconfigure`` mutate the wrapped engine and rebuild the device
+  state; ``reconfigure`` runs the distributed build
+  (parallel/build.reconfigure_on_mesh — clustering fit + posting assignment
+  SPMD on this mesh, bit-identical to the single-device build for mesh sizes
+  dividing the canonical group count).
 
 Semantics: identical results to the single-device engine (same exact-ADC math,
-per-shard top-k + all-gather exact merge), verified in tests/test_sharded.py.
+per-shard top-k + all-gather exact merge), verified in tests/test_sharded.py
+and tests/test_distributed.py.
 """
 
 import numpy as np
@@ -15,13 +32,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from rii_tpu.ops.decode import build_decoded_cache
-from rii_tpu.ops.ivf import ivf_union_scan_topk
+from rii_tpu.ops.ivf import (
+    _searchsorted_member,
+    ivf_union_scan_topk,
+    ivf_union_scan_topk_pq,
+)
 from rii_tpu.ops.scan import linear_scan_topk, linear_scan_topk_decoded
-from rii_tpu.parallel.mesh import make_mesh, DATA_AXIS
+from rii_tpu.parallel.mesh import make_mesh, put_sharded, DATA_AXIS
 
 
 def _pow2(n):
@@ -41,21 +62,34 @@ def init_distributed(**kwargs):
 
 
 class ShardedRii:
-    """Read-oriented sharded view of a built Rii engine.
+    """Sharded view of a built Rii engine (linear + IVF + subset search).
 
     Args:
-        engine: a built rii_tpu.Rii (N > 0). Mutations on the engine require
-            constructing a new ShardedRii (cheap: one device_put per array).
+        engine: a built rii_tpu.Rii (N > 0). Mutations through :meth:`add` /
+            :meth:`reconfigure` rebuild the device state; mutating the engine
+            directly requires calling :meth:`refresh`.
         mesh: 1-D mesh; defaults to all local devices.
-        use_decoded: keep a sharded bf16 decoded replica (None = follow the
-            engine's scan-mode policy).
+        use_decoded: keep sharded bf16 decoded replicas (None = follow the
+            engine's scan-mode policy). When False/unaffordable the IVF path
+            runs memory-lean over uint8 code windows.
     """
 
     def __init__(self, engine, mesh=None, use_decoded=None):
         self.engine = engine
         self.mesh = mesh or make_mesh()
         self.ndev = self.mesh.shape[DATA_AXIS]
+        self._use_decoded_opt = use_decoded
+        self.refresh()
+
+    # ------------------------------------------------------------------ #
+    # device-state (re)build
+    # ------------------------------------------------------------------ #
+
+    def refresh(self):
+        """Rebuild the sharded device state from the engine's host state."""
+        engine = self.engine
         self.topk_recall = getattr(engine, "topk_recall", None)
+        self._scan_cache = {}
 
         codes = engine._consolidated_codes()
         from rii_tpu.models.ivf import code_norms_np
@@ -70,31 +104,32 @@ class ShardedRii:
         norms_pad = np.full(cap, np.inf, np.float32)
         norms_pad[:n] = norms
 
-        sh = NamedSharding(self.mesh, P(DATA_AXIS, None))
-        sh1 = NamedSharding(self.mesh, P(DATA_AXIS))
-        rep = NamedSharding(self.mesh, P())
+        mesh = self.mesh
         self.cap = cap
         self.block = min(block, cap // self.ndev)
-        self.codes = jax.device_put(codes_pad, sh)
-        self.norms = jax.device_put(norms_pad, sh1)
-        self.codewords = jax.device_put(cw, rep)
+        self.codes = put_sharded(mesh, codes_pad, P(DATA_AXIS, None))
+        self.norms = put_sharded(mesh, norms_pad, P(DATA_AXIS))
+        self.codewords = put_sharded(mesh, cw, P())
 
+        use_decoded = self._use_decoded_opt
         if use_decoded is None:
             use_decoded = engine._use_decoded_cache(cap)
         self.decoded = None
+        sh = jax.sharding.NamedSharding(mesh, P(DATA_AXIS, None))
         if use_decoded:
             # decode under jit: sharding propagates row-wise, each device
             # decodes only its shard
             self.decoded = jax.jit(
                 build_decoded_cache, static_argnames=("block",),
                 out_shardings=sh)(self.codes, self.codewords, block=self.block)
-        self._scan_cache = {}
 
         # sharded IVF over the balanced virtual-bucket layout: each shard owns
         # a contiguous range of virtual windows + their (replicated-center
-        # derived) coarse rows; probing is per-shard local (see query_ivf_batch)
+        # derived) coarse rows; probing is per-shard local (see
+        # query_ivf_batch). Mode: bf16 window replica when affordable, else
+        # memory-lean uint8 code windows (decoded in flight).
         self.ivf = None
-        if use_decoded and engine.nlist > 0:
+        if engine.nlist > 0:
             from rii_tpu.models.ivf import build_virtual_layout
             ul = build_virtual_layout(codes, norms, engine._assignments(),
                                       engine.nlist, pad_to=8 * self.ndev)
@@ -106,37 +141,101 @@ class ShardedRii:
             cnv = np.where(vreal >= 0,
                            cn[np.clip(vreal, 0, cn.shape[0] - 1)],
                            np.inf).astype(np.float32)
-            codes_g = jax.device_put(ul["codes_grouped"], sh)
-            order_g = jax.device_put(ul["order"], sh1)
-
-            # padding rows get the large sentinel the Pallas window kernel
-            # needs (its norms are derived in kernel; see ops/pallas_scan)
-            def _dec_sentinel(cg, cw, og):
-                dec = build_decoded_cache(cg, cw, block=ul["cap_v"])
-                return jnp.where((og < 0)[:, None], jnp.bfloat16(1e15), dec)
-
+            codes_g = put_sharded(mesh, ul["codes_grouped"], P(DATA_AXIS, None))
+            order_g = put_sharded(mesh, ul["order"], P(DATA_AXIS))
             self.ivf = {
+                "mode": "bf16" if use_decoded else "pq",
                 "cap_v": ul["cap_v"],
                 "nlist_v": ul["nlist_v"],
                 "nlist_v_pad": ul["nlist_v_pad"],
                 "order_g": order_g,
-                "norms_g": jax.device_put(ul["norms_grouped"], sh1),
-                "centers_dec_v": jax.device_put(cdv, sh),
-                "centers_norms_v": jax.device_put(cnv, sh1),
-                "decoded_g": jax.jit(_dec_sentinel, out_shardings=sh)(
-                    codes_g, self.codewords, order_g),
+                "norms_g": put_sharded(mesh, ul["norms_grouped"], P(DATA_AXIS)),
+                "centers_dec_v": put_sharded(mesh, cdv, P(DATA_AXIS, None)),
+                "centers_norms_v": put_sharded(mesh, cnv, P(DATA_AXIS)),
             }
+            if use_decoded:
+                # padding rows get the large sentinel the Pallas window kernel
+                # needs (its norms are derived in kernel; see ops/pallas_scan)
+                def _dec_sentinel(cg, cw_, og):
+                    dec = build_decoded_cache(cg, cw_, block=ul["cap_v"])
+                    return jnp.where((og < 0)[:, None], jnp.bfloat16(1e15), dec)
 
-    def _scan_fn(self, topk):
-        key = (topk, self.decoded is not None)
+                self.ivf["decoded_g"] = jax.jit(_dec_sentinel, out_shardings=sh)(
+                    codes_g, self.codewords, order_g)
+            else:
+                self.ivf["codes_g"] = codes_g
+                self.ivf["vlen_g"] = put_sharded(mesh, ul["vlen"], P(DATA_AXIS))
+                if self._use_pallas():
+                    from rii_tpu.ops.pallas_scan import build_padded_codewords
+                    self.ivf["cw_padded"] = jax.device_put(
+                        build_padded_codewords(cw),
+                        jax.sharding.NamedSharding(mesh, P()))
+        return self
+
+    def _use_pallas(self):
+        return (jax.default_backend() != "cpu"
+                and self.topk_recall is not None)
+
+    # ------------------------------------------------------------------ #
+    # mutation (parity with Rii.add / Rii.reconfigure on the mesh)
+    # ------------------------------------------------------------------ #
+
+    def add(self, vecs, update_posting_lists="auto"):
+        """Encode + append through the wrapped engine, then re-place shards."""
+        self.engine.add(vecs, update_posting_lists)
+        return self.refresh()
+
+    def reconfigure(self, nlist=None, iter=5):
+        """Distributed reconfigure: PQk-means fit + posting assignment run
+        SPMD on this mesh (parallel/build.py), then shards are re-placed."""
+        from rii_tpu.parallel.build import reconfigure_on_mesh
+        reconfigure_on_mesh(self.engine, self.mesh, nlist=nlist, iter=iter)
+        return self.refresh()
+
+    # ------------------------------------------------------------------ #
+    # query
+    # ------------------------------------------------------------------ #
+
+    def _rotated(self, queries):
+        queries = np.ascontiguousarray(np.atleast_2d(queries),
+                                       dtype=np.float32)
+        from rii_tpu.models.opq import OPQ
+        if isinstance(self.engine.fine_quantizer, OPQ):
+            queries = self.engine.fine_quantizer.rotate(queries)
+        return queries
+
+    def _prep_targets(self, target_ids, sort_target_ids=True):
+        """(tids_padded jnp (S_pad,) int32 sorted w/ int32-max tail, n, S)."""
+        if target_ids is None:
+            return None, None, None
+        tids = np.asarray(target_ids)
+        assert tids.ndim == 1
+        tids = np.sort(tids) if sort_target_ids else tids
+        s = len(tids)
+        s_pad = _pow2(max(16, s))
+        tp = np.full(s_pad, np.iinfo(np.int32).max, dtype=np.int32)
+        tp[:s] = tids
+        return jnp.asarray(tp), jnp.int32(s), s
+
+    def _scan_fn(self, topk, s_pad):
+        key = (topk, self.decoded is not None, s_pad)
         if key in self._scan_cache:
             return self._scan_cache[key]
         shard_cap = self.cap // self.ndev
         blk = min(self.block, shard_cap)
         rt = self.topk_recall
         use_dec = self.decoded is not None
+        has_tids = s_pad is not None
 
-        def _local(queries, codes_l, norms_l, codewords, dec_l):
+        def _local(queries, codes_l, norms_l, codewords, dec_l, tids, nt):
+            my = lax.axis_index(DATA_AXIS)
+            if has_tids:
+                # subset filter: membership of this shard's GLOBAL row ids in
+                # the replicated sorted target set (the searchsorted
+                # re-design of src/rii.h:218-228's binary_search)
+                gid_l = my * shard_cap + jnp.arange(shard_cap, dtype=jnp.int32)
+                member = _searchsorted_member(tids, nt, gid_l)
+                norms_l = jnp.where(member, norms_l, jnp.inf)
             if use_dec:
                 d_l, i_l = linear_scan_topk_decoded(
                     queries, dec_l, norms_l, topk=topk, block=blk,
@@ -145,7 +244,6 @@ class ShardedRii:
                 d_l, i_l = linear_scan_topk(
                     queries, codes_l, norms_l, codewords, topk=topk, block=blk,
                     recall_target=rt)
-            my = lax.axis_index(DATA_AXIS)
             gids = jnp.where(i_l >= 0, i_l + my * shard_cap, -1)
             d_all = lax.all_gather(d_l, DATA_AXIS)  # (ndev, Q, k)
             g_all = lax.all_gather(gids, DATA_AXIS)
@@ -153,40 +251,56 @@ class ShardedRii:
             d_flat = jnp.swapaxes(d_all, 0, 1).reshape(qn, self.ndev * topk)
             g_flat = jnp.swapaxes(g_all, 0, 1).reshape(qn, self.ndev * topk)
             neg, pos = lax.top_k(-d_flat, topk)
-            return -neg, jnp.take_along_axis(g_flat, pos, axis=1)
+            ids = jnp.take_along_axis(g_flat, pos, axis=1)
+            ids = jnp.where(jnp.isfinite(-neg), ids, -1)
+            return -neg, ids
 
         fn = jax.jit(shard_map(
             _local,
             mesh=self.mesh,
             in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS), P(),
-                      P(DATA_AXIS, None)),
+                      P(DATA_AXIS, None), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         ))
         self._scan_cache[key] = fn
         return fn
 
-    def _ivf_fn(self, topk, wv_local):
-        key = ("ivf", topk, wv_local)
+    def _ivf_fn(self, topk, wv_local, s_pad):
+        key = ("ivf", topk, wv_local, s_pad)
         if key in self._scan_cache:
             return self._scan_cache[key]
         iv = self.ivf
         nv_l = iv["nlist_v_pad"] // self.ndev
         cap_v = iv["cap_v"]
         rt = self.topk_recall
+        mode = iv["mode"]
+        has_tids = s_pad is not None
 
-        # the fused window kernel needs accelerator Mosaic lowering; the CPU
-        # (virtual-mesh) path keeps the XLA union scan
-        use_pallas = jax.default_backend() != "cpu" and rt is not None
+        # the fused window kernels need accelerator Mosaic lowering and no
+        # subset mask; otherwise the XLA union scan runs
+        use_pallas = self._use_pallas() and not has_tids
 
-        def _local(queries, dec_l, norms_l, order_l, cdec_l, cnorm_l):
+        def _local(queries, store_l, norms_l, order_l, cdec_l, cnorm_l,
+                   vlen_l, cwp, codewords, tids, nt):
             # per-shard local probing + union scan over the shard's windows;
             # order_l already holds ORIGINAL (global) ids, so no offset needed
-            d_l, i_l = ivf_union_scan_topk(
-                queries, dec_l, norms_l, order_l, cdec_l, cnorm_l,
-                w=min(wv_local, nv_l), topk=topk, cap_u=cap_v,
-                nlist_pad=nv_l, recall_target=rt,
-                use_pallas=use_pallas)
+            tm = None
+            if has_tids:
+                tm = _searchsorted_member(tids, nt, order_l)
+            if mode == "bf16":
+                d_l, i_l = ivf_union_scan_topk(
+                    queries, store_l, norms_l, order_l, cdec_l, cnorm_l,
+                    w=min(wv_local, nv_l), topk=topk, cap_u=cap_v,
+                    nlist_pad=nv_l, target_mask=tm, recall_target=rt,
+                    use_pallas=use_pallas)
+            else:
+                d_l, i_l = ivf_union_scan_topk_pq(
+                    queries, store_l, norms_l, order_l, codewords,
+                    cdec_l, cnorm_l, w=min(wv_local, nv_l), topk=topk,
+                    cap_u=cap_v, nlist_pad=nv_l, target_mask=tm,
+                    recall_target=rt, vlen=vlen_l, cw_padded=cwp,
+                    use_pallas=use_pallas)
             d_all = lax.all_gather(d_l, DATA_AXIS)  # (ndev, Q, k)
             g_all = lax.all_gather(i_l, DATA_AXIS)
             qn = queries.shape[0]
@@ -201,33 +315,35 @@ class ShardedRii:
             _local,
             mesh=self.mesh,
             in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
-                      P(DATA_AXIS, None), P(DATA_AXIS)),
+                      P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
+                      P(), P(), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         ))
         self._scan_cache[key] = fn
         return fn
 
-    def query_ivf_batch(self, queries, topk=1, L=None):
+    def query_ivf_batch(self, queries, topk=1, L=None, target_ids=None,
+                        sort_target_ids=True):
         """Sharded IVF probe: each shard probes its own wv/ndev nearest local
         windows (2x slack for probe-ownership imbalance), then exact merge.
 
         The global candidate set is the union of per-shard local tops — with
         balanced virtual windows this covers the global top-wv with high
-        probability; distances are exact, the merge is exact.
+        probability; distances are exact, the merge is exact. target_ids is a
+        global sorted id subset (the reference's subset search,
+        /root/reference/src/rii.h:291-295), applied per shard by membership.
         """
-        assert self.ivf is not None, \
-            "IVF requires use_decoded=True and a reconfigured engine"
-        queries = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
-        from rii_tpu.models.opq import OPQ
-        if isinstance(self.engine.fine_quantizer, OPQ):
-            queries = self.engine.fine_quantizer.rotate(queries)
+        assert self.ivf is not None, "IVF requires a reconfigured engine"
+        queries = self._rotated(queries)
         e = self.engine
         iv = self.ivf
+        tids, nt, s = self._prep_targets(target_ids, sort_target_ids)
         if L is None:
             L = e._multiple_of_L0_covering_topk(topk=topk)
+        denom = e.N if s is None else s
         slack = 3 * max(1, -(-iv["nlist_v"] // max(1, e.nlist)))
-        wv = int(np.round(float(L) * iv["nlist_v"] / max(1, e.N))) + slack
+        wv = int(np.round(float(L) * iv["nlist_v"] / max(1, denom))) + slack
         nv_l = iv["nlist_v_pad"] // self.ndev
         wv_local = min(nv_l, max(1, _pow2(-(-wv // self.ndev) * 2)))
         qn = queries.shape[0]
@@ -236,23 +352,35 @@ class ShardedRii:
             queries = np.concatenate(
                 [queries, np.broadcast_to(queries[:1], (qpad - qn,
                                                         queries.shape[1]))])
-        d, i = self._ivf_fn(topk, wv_local)(
-            jnp.asarray(queries), iv["decoded_g"], iv["norms_g"],
-            iv["order_g"], iv["centers_dec_v"], iv["centers_norms_v"])
+        zero = jnp.zeros((), jnp.int32)
+        store = iv["decoded_g"] if iv["mode"] == "bf16" else iv["codes_g"]
+        vlen = iv.get("vlen_g", iv["centers_norms_v"])  # placeholder sharded
+        cwp = iv.get("cw_padded", self.codewords)  # placeholder replicated
+        s_pad = None if tids is None else int(tids.shape[0])
+        d, i = self._ivf_fn(topk, wv_local, s_pad)(
+            jnp.asarray(queries), store, iv["norms_g"], iv["order_g"],
+            iv["centers_dec_v"], iv["centers_norms_v"], vlen, cwp,
+            self.codewords,
+            tids if tids is not None else zero,
+            nt if nt is not None else zero)
         return (np.asarray(i)[:qn].astype(np.int64),
                 np.asarray(d)[:qn].astype(np.float64))
 
-    def query_batch(self, queries, topk=1):
-        """Exact ADC scan over all shards; returns (ids int64, dists float64)."""
-        queries = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
-        from rii_tpu.models.opq import OPQ
-        if isinstance(self.engine.fine_quantizer, OPQ):
-            queries = self.engine.fine_quantizer.rotate(queries)
+    def query_batch(self, queries, topk=1, target_ids=None,
+                    sort_target_ids=True):
+        """Exact ADC scan over all shards, optionally restricted to a global
+        target_ids subset; returns (ids int64, dists float64)."""
+        queries = self._rotated(queries)
+        tids, nt, s = self._prep_targets(target_ids, sort_target_ids)
         dec = self.decoded
         if dec is None:
             # pass a tiny placeholder with the right sharding
             dec = self.norms[:, None]
-        d, i = self._scan_fn(topk)(jnp.asarray(queries), self.codes, self.norms,
-                                   self.codewords, dec)
+        zero = jnp.zeros((), jnp.int32)
+        s_pad = None if tids is None else int(tids.shape[0])
+        d, i = self._scan_fn(topk, s_pad)(
+            jnp.asarray(queries), self.codes, self.norms, self.codewords, dec,
+            tids if tids is not None else zero,
+            nt if nt is not None else zero)
         return (np.asarray(i).astype(np.int64),
                 np.asarray(d).astype(np.float64))

@@ -16,6 +16,27 @@ def make_mesh(n_devices=None, axis_name=DATA_AXIS):
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def put_sharded(mesh, arr, spec):
+    """Place a host array on the mesh with the given PartitionSpec.
+
+    Single-process: a plain device_put. Multi-host (jax.distributed): each
+    process hands over only its addressable row range via
+    ``jax.make_array_from_process_local_data`` — the per-host ingestion path
+    for pod-scale databases (every host holds the same canonical numpy state;
+    only the local shard is transferred).
+    """
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sh)
+    imap = sh.devices_indices_map(arr.shape)
+    pid = jax.process_index()
+    rows = [idx[0] for d, idx in imap.items() if d.process_index == pid]
+    lo = min((r.start or 0) for r in rows)
+    hi = max(arr.shape[0] if r.stop is None else r.stop for r in rows)
+    return jax.make_array_from_process_local_data(sh, np.asarray(arr)[lo:hi],
+                                                  global_shape=arr.shape)
+
+
 def shard_database(mesh, codes, norms, axis_name=DATA_AXIS):
     """Place (cap, M) codes and (cap,) norms row-sharded over the mesh.
 
