@@ -171,14 +171,18 @@ def main():
     recall10 = float((ids[:nq_gt] == gt[:, None]).any(1).mean())
     log(f"recall@1={recall1:.3f} recall@10={recall10:.3f} (PQ M={M}, exact-ADC scan)")
 
-    # ---- ivf path latency (reference-style L) ----
+    # ---- ivf path latency + recall (reference-style L) ----
     L = 5000 if N >= 500_000 else e._multiple_of_L0_covering_topk(topk)
     qiv = queries[:64]
-    e.query_batch(qiv, topk=topk, L=L, method="ivf")  # compile
+    ids_ivf = e.query_batch(qiv, topk=topk, L=L, method="ivf")[0]  # compile
     t0 = time.perf_counter()
-    e.query_batch(qiv, topk=topk, L=L, method="ivf")
+    ids_ivf, _ = e.query_batch(qiv, topk=topk, L=L, method="ivf")
     t_ivf = (time.perf_counter() - t0) / len(qiv) * 1e3
-    log(f"ivf (L={L}): {t_ivf:.4f} ms/query incl dispatch")
+    nq_iv = min(len(qiv), nq_gt)
+    ivf_r1 = float((ids_ivf[:nq_iv, :1] == gt[:nq_iv, None]).any(1).mean())
+    ivf_r10 = float((ids_ivf[:nq_iv] == gt[:nq_iv, None]).any(1).mean())
+    log(f"ivf (L={L}): {t_ivf:.4f} ms/query incl dispatch, "
+        f"recall@1={ivf_r1:.3f} recall@10={ivf_r10:.3f}")
 
     if "decoded_g" in dc:
         # device-resident union-bucket ivf (same differenced-loop methodology)
