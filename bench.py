@@ -117,7 +117,16 @@ def main():
     qd_bench = jnp.asarray(queries)
 
     rt = e.topk_recall
-    if "decoded_flat" in dc:
+    if "decoded_t" in dc:
+        from rii_tpu.ops.pallas_scan import replica_scan_topk_t
+
+        def scan_once(qb, decoded_t, norms_rep):
+            d, _ = replica_scan_topk_t(qb, decoded_t, norms_rep,
+                                       topk=topk, recall_target=rt)
+            return d[0, 0]
+
+        args = (dc["decoded_t"], dc["norms_rep"])
+    elif "decoded_flat" in dc:
         from rii_tpu.ops.pallas_scan import replica_scan_topk
 
         def scan_once(qb, decoded, norms):
@@ -161,8 +170,10 @@ def main():
     log(f"timing: R1={r1} t1={t_r1*1e3:.1f}ms R2={r2} t2={t_r2*1e3:.1f}ms")
     ms_per_query = dt / Q * 1e3
     qps = Q / dt
+    mode = ("bf16-T" if "decoded_t" in dc
+            else "bf16" if "decoded_flat" in dc else dc["mode"])
     log(f"device-resident scan: {dt*1e3:.2f} ms/batch, {ms_per_query:.4f} ms/query, "
-        f"{qps:.0f} QPS (mode={'bf16' if 'decoded_flat' in dc else 'pq'})")
+        f"{qps:.0f} QPS (mode={mode})")
 
     # ---- recall@1 vs exact f32 ground truth on a query subset ----
     nq_gt = min(Q, 128)

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Validate the auto linear-vs-IVF selection policy on hardware.
+
+The reference calibrates its threshold by timing both methods at reconfigure
+(/root/reference/rii/rii.py:149-150,403-486); rii-tpu defaults to an analytic
+cost model (rii.py::_use_linear + _analytic_threshold) to avoid paying tens of
+remote compiles per reconfigure. This harness measures the REAL crossover on
+the current device across a (|S|, L) grid and reports, for every cell, the
+latency of linear, ivf, and what `auto` picked — the policy passes when
+auto <= slack * min(linear, ivf) everywhere.
+
+Writes a markdown table to stdout (redirect into AUTO_POLICY.md to commit).
+Env: BENCH_N (default 1M on accelerator), BENCH_Q (batch size, default 64).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    on_accel = jax.default_backend() != "cpu"
+    N = int(os.environ.get("BENCH_N", 1_000_000 if on_accel else 100_000))
+    Q = int(os.environ.get("BENCH_Q", 64))
+    SLACK = 1.2
+    D, M, Ks = 128, 32, 256
+    nlist = 1000 if N >= 500_000 else max(32, int(np.sqrt(N)))
+    log(f"N={N} Q={Q} nlist={nlist} backend={jax.default_backend()}")
+
+    rng = np.random.RandomState(123)
+    X = rng.random((N, D)).astype(np.float32)
+    queries = X[rng.choice(N, Q, replace=False)] \
+        + 0.01 * rng.normal(0, 1, (Q, D)).astype(np.float32)
+    queries = queries.astype(np.float32)
+
+    from rii_tpu import PQ, Rii
+    pq = PQ(M=M, Ks=Ks).fit(X[:100_000], iter=8)
+    e = Rii(pq)
+    e.add_configure(X, nlist=nlist, iter=5)
+
+    def timed(method, L, tids):
+        kw = {} if tids is None else {"target_ids": tids}
+        e.query_batch(queries, topk=10, L=L, method=method, **kw)  # compile
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            e.query_batch(queries, topk=10, L=L, method=method, **kw)
+            best = min(best, time.perf_counter() - t0)
+        return best / Q * 1e3  # ms/query
+
+    sizes = []
+    s = 1 << 12
+    while s < N:
+        sizes.append(s)
+        s *= 8
+    sizes.append(N)
+
+    rows, violations = [], 0
+    for L in (1000, 5000):
+        if L > N:
+            continue
+        for S in sizes:
+            if S < 10:
+                continue
+            tids = None if S == N else np.sort(
+                rng.choice(N, S, replace=False)).astype(np.int64)
+            t_lin = timed("linear", L, tids)
+            t_ivf = timed("ivf", L, tids)
+            t_auto = timed("auto", L, tids)
+            pick = "linear" if e._use_linear(S, L, qn=Q) else "ivf"
+            best = min(t_lin, t_ivf)
+            ok = t_auto <= SLACK * best + 0.05  # +50us absolute jitter floor
+            violations += 0 if ok else 1
+            row = dict(L=L, S=S, linear=t_lin, ivf=t_ivf, auto=t_auto,
+                       pick=pick, ok=ok)
+            rows.append(row)
+            log(row)
+
+    print("# Auto method-selection policy validation\n")
+    print(f"Config: N={N}, D={D}, M={M}, Ks={Ks}, nlist={e.nlist}, batch "
+          f"Q={Q}, backend={jax.default_backend()}; pass criterion: "
+          f"auto <= {SLACK}x min(linear, ivf) + 50us/query jitter floor. "
+          f"Latencies are ms/query including dispatch.\n")
+    print("| L | \\|S\\| | linear | ivf | auto (picked) | ok |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['L']} | {r['S']} | {r['linear']:.3f} | {r['ivf']:.3f} "
+              f"| {r['auto']:.3f} ({r['pick']}) | "
+              f"{'yes' if r['ok'] else 'NO'} |")
+    print(f"\nViolations: {violations} / {len(rows)}.")
+    if violations:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -41,8 +41,18 @@ class OPQ(PQ):
         super().__init__(M=M, Ks=Ks, verbose=verbose, seed=seed)
         self.rotation_matrix = None  # (D, D) float32
 
-    def fit(self, vecs, iter=20, rotation_iter=10, seed=None):
-        """Alternate rotation / codebook updates, then a final full PQ fit."""
+    def fit(self, vecs, iter=20, rotation_iter=10, seed=None,
+            rotation_sample=1 << 18):
+        """Alternate rotation / codebook updates, then a final full PQ fit.
+
+        The alternation stage runs on a deterministic subsample of at most
+        ``rotation_sample`` rows (rotation estimation converges on far fewer
+        points than codebook training needs), so device memory during the
+        alternations is bounded regardless of N — the SIFT1B training config
+        uses 10M vectors (/root/reference/examples/benchmark/run_sift1b.py:61),
+        which would otherwise hold 3 full (N, D) f32 transients on device.
+        The FINAL codebook fit still uses every training row.
+        """
         vecs = np.asarray(vecs)
         assert vecs.ndim == 2 and vecs.dtype == np.float32
         N, D = vecs.shape
@@ -50,7 +60,12 @@ class OPQ(PQ):
         if seed is not None:
             self.seed = int(seed)
 
-        x = jnp.asarray(vecs)
+        if N > rotation_sample:
+            pick = np.random.RandomState(self.seed).permutation(N)[:rotation_sample]
+            sample = np.ascontiguousarray(vecs[pick])
+        else:
+            sample = vecs
+        x = jnp.asarray(sample)
         R = jnp.eye(D, dtype=jnp.float32)
         # A few inner k-means iterations per alternation are enough; the final
         # fit below runs the full budget.
@@ -65,20 +80,26 @@ class OPQ(PQ):
                 print(f"OPQ alternation {it}: recon error {err:.6f}")
 
         self.rotation_matrix = np.asarray(R, dtype=np.float32)
-        xr = np.asarray(jnp.dot(x, R, precision=_PREC), dtype=np.float32)
-        super().fit(xr, iter=int(iter))
+        super().fit(self.rotate(vecs), iter=int(iter))
         return self
 
-    def rotate(self, vecs):
-        """Rotate vecs (D,) or (N, D) into the PQ space."""
+    def rotate(self, vecs, chunk=1 << 20):
+        """Rotate vecs (D,) or (N, D) into the PQ space (chunked: bounds the
+        device transient to `chunk` rows at SIFT1B-scale inputs)."""
         assert self.rotation_matrix is not None, "Please fit the OPQ instance first"
         vecs = np.asarray(vecs)
         single = vecs.ndim == 1
         v2 = np.atleast_2d(vecs).astype(np.float32, copy=False)
-        out = np.asarray(
-            jnp.dot(jnp.asarray(v2), jnp.asarray(self.rotation_matrix), precision=_PREC),
-            dtype=np.float32,
-        )
+        r = jnp.asarray(self.rotation_matrix)
+        if v2.shape[0] <= chunk:
+            out = np.asarray(jnp.dot(jnp.asarray(v2), r, precision=_PREC),
+                             dtype=np.float32)
+        else:
+            out = np.empty_like(v2)
+            for lo in range(0, v2.shape[0], chunk):
+                hi = min(v2.shape[0], lo + chunk)
+                out[lo:hi] = np.asarray(
+                    jnp.dot(jnp.asarray(v2[lo:hi]), r, precision=_PREC))
         return out[0] if single else out
 
     def encode(self, vecs):

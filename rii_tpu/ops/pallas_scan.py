@@ -84,14 +84,39 @@ def _scan_kernel(codes_ref, norms_ref, qt_ref, cw_ref, min_ref, arg_ref,
         _tile_reduce_and_store(scores, base, s, qn, min_ref, arg_ref)
 
 
-def _tile_reduce_and_store(scores, base, s, qn, min_ref, arg_ref):
-    """Shared epilogue: (SUB, Q) scores -> per-128-row (min, argmin) stores."""
+_PACK_CLAMP = 3.0e38   # +inf clamped finite so packing can't produce NaN
+_PACK_RESTORE = 2.9e38  # restored to +inf after unpacking (padding mask)
+
+
+def _tile_reduce_and_store(scores, base, s, qn, min_ref, arg_ref,
+                           packed=True):
+    """Shared epilogue: (SUB, Q) scores -> per-128-row (min, argmin) stores.
+
+    packed=True (default): ONE order-preserving reduce over f32 keys whose
+    low 7 mantissa bits are replaced by the in-tile slot index — min(key)
+    simultaneously yields the min score (at ~2^-16 relative precision, well
+    inside the documented bf16-cross accuracy class) and its slot. Halves the
+    VPU reduce work vs the two-pass (min, compare+where+min) formulation.
+    Bit-clearing the mantissa is monotone on each sign half and the 127-ulp
+    index never crosses a 128-ulp bucket, so key order == score order.
+    packed=False keeps the exact two-pass epilogue (bit-exact vmin).
+    """
     tiles_per_sub = _SUB // _TILE
     st = scores.reshape(tiles_per_sub, _TILE, qn)
-    vmin = jnp.min(st, axis=1)  # (tps, Q)
     row = lax.broadcasted_iota(jnp.int32, (tiles_per_sub, _TILE, qn), 1)
-    amin = jnp.min(jnp.where(st == vmin[:, None, :], row, _TILE), axis=1)
-    amin = jnp.minimum(amin, _TILE - 1)
+    if packed:
+        st = jnp.minimum(st, jnp.float32(_PACK_CLAMP))
+        bits = lax.bitcast_convert_type(st, jnp.int32)
+        key = (bits & jnp.int32(~0x7F)) | row
+        kmin = jnp.min(lax.bitcast_convert_type(key, jnp.float32), axis=1)
+        kbits = lax.bitcast_convert_type(kmin, jnp.int32)
+        amin = kbits & jnp.int32(0x7F)
+        vmin = lax.bitcast_convert_type(kbits & jnp.int32(~0x7F), jnp.float32)
+        vmin = jnp.where(vmin >= jnp.float32(_PACK_RESTORE), jnp.inf, vmin)
+    else:
+        vmin = jnp.min(st, axis=1)  # (tps, Q)
+        amin = jnp.min(jnp.where(st == vmin[:, None, :], row, _TILE), axis=1)
+        amin = jnp.minimum(amin, _TILE - 1)
     tile_base = base + s * _SUB + lax.broadcasted_iota(
         jnp.int32, (tiles_per_sub, qn), 0) * _TILE
     out_row = s * tiles_per_sub
@@ -99,7 +124,8 @@ def _tile_reduce_and_store(scores, base, s, qn, min_ref, arg_ref):
     arg_ref[out_row:out_row + tiles_per_sub, :] = tile_base + amin
 
 
-def _replica_scan_kernel(dec_ref, norms_ref, qt_ref, min_ref, arg_ref, *, blk):
+def _replica_scan_kernel(dec_ref, norms_ref, qt_ref, min_ref, arg_ref, *, blk,
+                         packed=True):
     """Replica-mode grid step: one MXU GEMM per sub-block + tile reduce."""
     qn = qt_ref.shape[1]
     base = pl.program_id(0) * blk
@@ -107,12 +133,13 @@ def _replica_scan_kernel(dec_ref, norms_ref, qt_ref, min_ref, arg_ref, *, blk):
         dec = dec_ref[s * _SUB:(s + 1) * _SUB, :]  # (SUB, D) bf16
         cross = jnp.dot(dec, qt_ref[...], preferred_element_type=jnp.float32)
         scores = norms_ref[s * _SUB:(s + 1) * _SUB, :] - 2.0 * cross
-        _tile_reduce_and_store(scores, base, s, qn, min_ref, arg_ref)
+        _tile_reduce_and_store(scores, base, s, qn, min_ref, arg_ref,
+                               packed=packed)
 
 
-@partial(jax.jit, static_argnames=("blk", "interpret"))
+@partial(jax.jit, static_argnames=("blk", "interpret", "packed"))
 def replica_scan_tile_minima(queries, decoded, norms_col, blk=1024,
-                             interpret=False):
+                             interpret=False, packed=True):
     """Per-tile (min, argmin) over the bf16 decoded replica.
 
     decoded: (cap, D) bf16; norms_col: (cap, 1) f32 (+inf padding).
@@ -123,7 +150,7 @@ def replica_scan_tile_minima(queries, decoded, norms_col, blk=1024,
     assert cap % blk == 0 and blk % _SUB == 0 and blk // _TILE >= 8, (cap, blk)
     nt = cap // _TILE
     qt = queries.astype(jnp.bfloat16).T  # (D, Q)
-    kernel = partial(_replica_scan_kernel, blk=blk)
+    kernel = partial(_replica_scan_kernel, blk=blk, packed=packed)
     vmin_t, amin_t = pl.pallas_call(
         kernel,
         grid=(cap // blk,),
@@ -167,14 +194,231 @@ def _merge_tile_minima(queries, vmin, amin, topk, recall_target):
     return dists, ids
 
 
-@partial(jax.jit, static_argnames=("topk", "blk", "interpret", "recall_target"))
+@partial(jax.jit, static_argnames=("topk", "blk", "interpret", "recall_target",
+                                   "packed"))
 def replica_scan_topk(queries, decoded, norms_col, topk, blk=1024,
-                      interpret=False, recall_target=0.99):
+                      interpret=False, recall_target=0.99, packed=True):
     """Fused replica scan (GEMM + tile reduce in one kernel). Same accuracy
     class as pq_scan_topk; the fastest full-scan path."""
     vmin, amin = replica_scan_tile_minima(queries, decoded, norms_col, blk=blk,
-                                          interpret=interpret)
+                                          interpret=interpret, packed=packed)
     return _merge_tile_minima(queries, vmin, amin, topk, recall_target)
+
+
+# --------------------------------------------------------------------------- #
+# transposed replica scan: the small-Q roofline path.
+#
+# The row-major kernel's (BLK, D) x (D, Q) GEMM has Q output columns; the
+# TPU's MXUs split matmul work by OUTPUT COLUMNS, so at Q <= 128 only one of
+# the four engages (measured 1.07 ms/1M rows = one MXU's 31 TF/s, while the
+# HBM pipe alone delivers 753 GB/s = 0.36 ms). Storing the replica TRANSPOSED
+# (D, cap) makes database rows the output columns: (Q, D) x (D, BLK) has BLK
+# columns, all MXUs engage at any Q, and the scan is DMA-bound again
+# (measured 0.43 ms/1M rows = 620 GB/s = 82% of the v5e roofline at Q=128).
+#
+# The epilogue uses the packed-key single reduce over LANES: the low 7
+# mantissa bits of each f32 score carry the in-tile lane index, so one min
+# yields both the tile minimum (at 2^-16 relative precision, inside the
+# documented bf16-cross class) and its slot. Norms ride as an (8, cap) f32
+# sublane-replicated stream (+12.5% traffic) so distances keep exact f32
+# norms.
+# --------------------------------------------------------------------------- #
+
+_TBLK = 16384   # database columns per grid step (scores transient: qc x TBLK)
+_QCHUNK = 256   # query rows scored per inner step (bounds VMEM to ~16 MB)
+
+
+def _replica_t_kernel(decT_ref, nr_ref, q_ref, key_ref, *, blk, qn):
+    nt = blk // _TILE
+    for c in range(-(-qn // _QCHUNK)):  # static unroll over query chunks
+        lo = c * _QCHUNK
+        hi = min(qn, lo + _QCHUNK)
+        qc = hi - lo
+        qs = q_ref[lo:hi, :]  # (qc, D) bf16
+        cross = jnp.dot(qs, decT_ref[...],
+                        preferred_element_type=jnp.float32)  # (qc, BLK)
+        scores = nr_ref[0:1, :] - 2.0 * cross
+        st = jnp.minimum(scores, jnp.float32(_PACK_CLAMP)).reshape(
+            qc, nt, _TILE)
+        lane = lax.broadcasted_iota(jnp.int32, (qc, nt, _TILE), 2)
+        bits = lax.bitcast_convert_type(st, jnp.int32)
+        key = (bits & jnp.int32(~0x7F)) | lane
+        key_ref[lo:hi, :] = jnp.min(
+            lax.bitcast_convert_type(key, jnp.float32), axis=2)
+
+
+def _replica_keys_nn(queries, decoded_t, norms_rep, blk=_TBLK,
+                     interpret=False):
+    """Packed per-128-slot min keys (Q, cap/128) via the NN kernel."""
+    d, cap = decoded_t.shape
+    qn = queries.shape[0]
+    blk = min(blk, cap)
+    assert cap % blk == 0 and blk % _TILE == 0, (cap, blk)
+    nt_total = cap // _TILE
+    qb = queries.astype(jnp.bfloat16)  # (Q, D)
+    kernel = partial(_replica_t_kernel, blk=blk, qn=qn)
+    return pl.pallas_call(
+        kernel,
+        grid=(cap // blk,),
+        in_specs=[
+            pl.BlockSpec((d, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((qn, blk // _TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qn, nt_total), jnp.float32),
+        # the (QCHUNK, BLK) f32 score transient exceeds the default 16 MB
+        # scoped-vmem budget at larger Q; the v5e has 128 MB of VMEM
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(decoded_t, norms_rep, qb)
+
+
+def _unpack_keys(keys):
+    """(Q, nt) packed keys -> (vmin, amin) with global slot ids."""
+    nt_total = keys.shape[1]
+    bits = lax.bitcast_convert_type(keys, jnp.int32)
+    lane = bits & jnp.int32(0x7F)
+    vmin = lax.bitcast_convert_type(bits & jnp.int32(~0x7F), jnp.float32)
+    vmin = jnp.where(vmin >= jnp.float32(_PACK_RESTORE), jnp.inf, vmin)
+    amin = jnp.arange(nt_total, dtype=jnp.int32)[None, :] * _TILE + lane
+    return vmin, amin
+
+
+@partial(jax.jit, static_argnames=("blk", "interpret"))
+def replica_scan_tile_minima_t(queries, decoded_t, norms_rep, blk=_TBLK,
+                               interpret=False):
+    """Per-128-slot (min, argmin) over the TRANSPOSED bf16 replica.
+
+    Args:
+        queries: (Q, D) f32.
+        decoded_t: (D, cap) bf16 — the replica stored column-major so rows
+            are MXU output columns (see block comment above).
+        norms_rep: (8, cap) f32 — ||decode||^2 replicated over 8 sublanes
+            (+inf on padded columns).
+
+    Returns (vmin (Q, cap/128) f32 WITHOUT ||q||^2 at packed-key precision,
+    amin (Q, cap/128) int32 global slot ids).
+    """
+    return _unpack_keys(_replica_keys_nn(queries, decoded_t, norms_rep,
+                                         blk=blk, interpret=interpret))
+
+
+def _replica_tn_kernel(decT_ref, nc_ref, q_ref, key_ref, *, blk):
+    """Large-Q grid step from the SAME (D, cap) layout: a TN contraction
+    (decT^T against q^T) puts the Q queries in the output columns — plenty of
+    column tiles at Q >= 512, so all MXUs engage (measured 177 TF/s at
+    Q=1024) — and the reduce runs over SUBLANE row groups (cheap), avoiding
+    the NN path's per-vreg lane tree whose cost grows with Q*N."""
+    qn = q_ref.shape[0]
+    ntiles = blk // _TILE
+    cross = lax.dot_general(decT_ref[...], q_ref[...],
+                            (((0,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (BLK, Q)
+    scores = nc_ref[...] - 2.0 * cross
+    st = jnp.minimum(scores, jnp.float32(_PACK_CLAMP)).reshape(
+        ntiles, _TILE, qn)
+    row = lax.broadcasted_iota(jnp.int32, (ntiles, _TILE, qn), 1)
+    bits = lax.bitcast_convert_type(st, jnp.int32)
+    key = (bits & jnp.int32(~0x7F)) | row
+    key_ref[...] = jnp.min(lax.bitcast_convert_type(key, jnp.float32), axis=1)
+
+
+def _replica_keys_tn(queries, decoded_t, norms_rep, interpret=False):
+    """Packed per-128-slot min keys (Q, cap/128) via the TN kernel."""
+    d, cap = decoded_t.shape
+    qn = queries.shape[0]
+    # bound the (BLK, Q) f32 score transient to ~32 MB
+    blk = min(_TBLK, cap, max(1024, ((1 << 23) // qn) // 1024 * 1024))
+    assert cap % blk == 0 and blk % _TILE == 0, (cap, blk, qn)
+    nt_total = cap // _TILE
+    qb = queries.astype(jnp.bfloat16)  # (Q, D)
+    norms_col = norms_rep[0].reshape(cap, 1)
+    kernel = partial(_replica_tn_kernel, blk=blk)
+    keys_t = pl.pallas_call(
+        kernel,
+        grid=(cap // blk,),
+        in_specs=[
+            pl.BlockSpec((d, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((blk // _TILE, qn), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt_total, qn), jnp.float32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(decoded_t, norms_col, qb)
+    return keys_t.T  # (Q, nt_total)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def replica_scan_tile_minima_tn(queries, decoded_t, norms_rep,
+                                interpret=False):
+    """Large-Q per-128-slot (min, argmin) from the transposed replica (see
+    _replica_tn_kernel). Same return contract as replica_scan_tile_minima_t."""
+    return _unpack_keys(_replica_keys_tn(queries, decoded_t, norms_rep,
+                                         interpret=interpret))
+
+
+_TN_MIN_Q = 512  # NN lane-reduce below (DMA-bound), TN sublane-reduce from
+                 # here up (MXU-bound; lane-tree cost would scale with Q*N)
+
+
+def _merge_packed_keys(queries, keys, topk, recall_target):
+    """Top-k directly over PACKED keys (order-preserving, so selecting min
+    keys == selecting min scores), unpacking only the topk winners — skips
+    materializing full-width (Q, nt) vmin/amin arrays.
+
+    keys: (Q, nt) f32 packed (low 7 mantissa bits = in-tile lane).
+    """
+    qn, nt = keys.shape
+    qsq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
+    k_eff = min(topk, nt)
+    if recall_target is None:
+        neg, pos = lax.top_k(-keys, k_eff)
+    else:
+        neg, pos = lax.approx_max_k(-keys, k_eff, recall_target=recall_target)
+    bits = lax.bitcast_convert_type(-neg, jnp.int32)  # (Q, k_eff) packed
+    lane = bits & jnp.int32(0x7F)
+    vmin = lax.bitcast_convert_type(bits & jnp.int32(~0x7F), jnp.float32)
+    vmin = jnp.where(vmin >= jnp.float32(_PACK_RESTORE), jnp.inf, vmin)
+    ids = pos * _TILE + lane
+    dists = vmin + qsq[:, None]
+    if k_eff < topk:
+        pad = topk - k_eff
+        dists = jnp.concatenate([dists, jnp.full((qn, pad), jnp.inf)], axis=1)
+        ids = jnp.concatenate([ids, jnp.full((qn, pad), -1, ids.dtype)], axis=1)
+    ids = jnp.where(jnp.isfinite(dists), ids, -1)
+    return dists, ids
+
+
+@partial(jax.jit, static_argnames=("topk", "blk", "interpret", "recall_target"))
+def replica_scan_topk_t(queries, decoded_t, norms_rep, topk, blk=_TBLK,
+                        interpret=False, recall_target=0.99):
+    """Fused transposed-replica scan — the fastest full-scan path at any Q
+    (measured on v5e at N=1M: 0.52 ms @ Q=128 = DMA-bound ~620 GB/s; 1.56 ms
+    @ Q=1024 = 177 TF/s MXU-bound). Same accuracy class as replica_scan_topk.
+    """
+    if queries.shape[0] >= _TN_MIN_Q:
+        keys = _replica_keys_tn(queries, decoded_t, norms_rep,
+                                interpret=interpret)
+    else:
+        keys = _replica_keys_nn(queries, decoded_t, norms_rep, blk=blk,
+                                interpret=interpret)
+    return _merge_packed_keys(queries, keys, topk, recall_target)
+
+
+def prepare_replica_t(decoded, norms_flat):
+    """(cap, D) bf16 replica + (cap,) f32 norms -> (decoded_t (D, cap),
+    norms_rep (8, cap)) device arrays for the transposed scan."""
+    decoded_t = jnp.transpose(decoded)
+    norms_rep = jnp.broadcast_to(norms_flat[None, :],
+                                 (8, norms_flat.shape[0]))
+    return decoded_t, jnp.asarray(norms_rep)
 
 
 # --------------------------------------------------------------------------- #

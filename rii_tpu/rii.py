@@ -43,9 +43,11 @@ from rii_tpu.ops.ivf import (
 from rii_tpu.ops.pallas_scan import (
     pq_scan_topk,
     prepare_pq_scan_inputs,
+    prepare_replica_t,
     quantize_replica_i8,
     replica_i8_scan_topk,
     replica_scan_topk,
+    replica_scan_topk_t,
 )
 
 _RECONFIGURE_SAMPLE_SEED = 123  # mirrors std::default_random_engine(123), src/rii.h:122
@@ -370,6 +372,10 @@ class Rii:
                     dc["norms_flat"][:, None], dc["codes_flat"],
                     dc["codewords"], topk=topk, blk=min(8192, dc["cap"]),
                     recall_target=rt)
+            elif "decoded_t" in dc:
+                d, i = replica_scan_topk_t(qd, dc["decoded_t"],
+                                           dc["norms_rep"], topk=topk,
+                                           recall_target=rt)
             elif use_pallas_replica:
                 d, i = replica_scan_topk(qd, decoded, dc["norms_flat"][:, None],
                                          topk=topk, blk=min(8192, dc["cap"]),
@@ -399,6 +405,15 @@ class Rii:
                     jnp.asarray(norms_col[:, None]), dc["codes_flat"],
                     dc["codewords"], topk=topk, blk=min(8192, dc["cap"]),
                     recall_target=rt)
+            elif "decoded_t" in dc:
+                # fold the subset mask into the replicated norms stream
+                norms_m = jnp.where(jnp.asarray(mask), dc["norms_flat"],
+                                    jnp.inf)
+                norms_rep_m = jnp.broadcast_to(norms_m[None, :],
+                                               (8, dc["cap"]))
+                d, i = replica_scan_topk_t(qd, dc["decoded_t"],
+                                           jnp.asarray(norms_rep_m),
+                                           topk=topk, recall_target=rt)
             elif use_pallas_replica:
                 norms_col = np.asarray(dc["norms_flat"]).copy()
                 norms_col[~mask] = np.inf
@@ -683,7 +698,18 @@ class Rii:
         resolved = self._resolve_scan_mode(cap)
         dc["mode"] = resolved
         if resolved == "bf16":
-            dc["decoded_flat"] = build_decoded_cache(dc["codes_flat"], dc["codewords"])
+            if self._use_pallas_scan():
+                # accelerator: TRANSPOSED replica (D, cap) — database rows are
+                # MXU output columns so all MXUs engage at any Q; the scan is
+                # DMA-bound (~82% of HBM roofline at Q=128, see
+                # ops/pallas_scan.py transposed-replica block comment)
+                decoded = build_decoded_cache(dc["codes_flat"], dc["codewords"])
+                dc["decoded_t"], dc["norms_rep"] = prepare_replica_t(
+                    decoded, dc["norms_flat"])
+                del decoded
+            else:
+                dc["decoded_flat"] = build_decoded_cache(dc["codes_flat"],
+                                                         dc["codewords"])
         elif resolved == "int8":
             decoded = build_decoded_cache(dc["codes_flat"], dc["codewords"])
             dc["decoded_i8"], dc["i8_scales"] = quantize_replica_i8(decoded)
@@ -749,7 +775,8 @@ class Rii:
             # (decoded_flat, cap rows) already holds cap*d*2 bytes, so the
             # window replica is only added if the sum stays inside the budget
             # (otherwise deployments sized to the knob could OOM at ~2x)
-            flat_bytes = cap * d_dim * 2 if "decoded_flat" in dc else 0
+            has_flat = "decoded_flat" in dc or "decoded_t" in dc
+            flat_bytes = cap * (d_dim * 2 + 8 * 4) if has_flat else 0
             if (resolved == "bf16"
                     and flat_bytes + ul["total"] * d_dim * 2
                     <= self.decoded_cache_budget):

@@ -108,6 +108,77 @@ def test_replica_scan_matches_pq_scan():
                                atol=2e-2)
 
 
+def test_transposed_replica_scan_matches_row_replica():
+    """The (D, cap) transposed kernel (the small-Q roofline path) must agree
+    with the row-major replica kernel: same argmins, distances within the
+    packed-key 2^-16 class."""
+    from rii_tpu.ops.pallas_scan import (
+        prepare_replica_t, replica_scan_topk, replica_scan_topk_t)
+    from rii_tpu.ops.decode import build_decoded_cache
+    x, pq, codes, norms = _index()
+    queries = jnp.asarray(x[:16])
+    codes_p, norms_col, _ = prepare_pq_scan_inputs(codes, norms, pq.codewords,
+                                                   blk=2048)
+    decoded = build_decoded_cache(codes_p, jnp.asarray(pq.codewords), block=2048)
+    dec_t, norms_rep = prepare_replica_t(decoded, norms_col[:, 0])
+    d_t, i_t = replica_scan_topk_t(queries, dec_t, norms_rep, topk=3,
+                                   blk=2048, interpret=True,
+                                   recall_target=None)
+    d_r, i_r = replica_scan_topk(queries, decoded, norms_col, topk=3, blk=2048,
+                                 interpret=True, recall_target=None,
+                                 packed=False)
+    np.testing.assert_allclose(np.asarray(d_t), np.asarray(d_r), rtol=1e-4,
+                               atol=1e-4)
+    assert (np.asarray(i_t) == np.asarray(i_r)).mean() > 0.95  # ties only
+
+
+def test_tn_tile_minima_matches_nn():
+    """The large-Q TN kernel must produce the same tile minima as the NN
+    kernel (identical math, different MXU orientation)."""
+    from rii_tpu.ops.pallas_scan import (
+        prepare_replica_t,
+        replica_scan_tile_minima_t,
+        replica_scan_tile_minima_tn,
+    )
+    from rii_tpu.ops.decode import build_decoded_cache
+    x, pq, codes, norms = _index()
+    queries = jnp.asarray(x[:16])
+    codes_p, norms_col, _ = prepare_pq_scan_inputs(codes, norms, pq.codewords,
+                                                   blk=2048)
+    decoded = build_decoded_cache(codes_p, jnp.asarray(pq.codewords), block=2048)
+    dec_t, norms_rep = prepare_replica_t(decoded, norms_col[:, 0])
+    v_nn, a_nn = replica_scan_tile_minima_t(queries, dec_t, norms_rep,
+                                            blk=2048, interpret=True)
+    v_tn, a_tn = replica_scan_tile_minima_tn(queries, dec_t, norms_rep,
+                                             interpret=True)
+    np.testing.assert_allclose(np.asarray(v_tn), np.asarray(v_nn),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a_tn), np.asarray(a_nn))
+
+
+def test_transposed_replica_padding_and_masking():
+    from rii_tpu.ops.pallas_scan import prepare_replica_t, replica_scan_topk_t
+    from rii_tpu.ops.decode import build_decoded_cache
+    x, pq, codes, norms = _index(n=300)
+    queries = jnp.asarray(x[:8])
+    codes_p, norms_col, _ = prepare_pq_scan_inputs(codes, norms, pq.codewords,
+                                                   blk=1024)
+    decoded = build_decoded_cache(codes_p, jnp.asarray(pq.codewords), block=1024)
+    dec_t, norms_rep = prepare_replica_t(decoded, norms_col[:, 0])
+    _, i_t = replica_scan_topk_t(queries, dec_t, norms_rep, topk=2, blk=1024,
+                                 interpret=True)
+    i_t = np.asarray(i_t)
+    assert (i_t < 300).all() and (i_t >= 0).all()  # padding never selected
+    # subset mask folded into the norms stream
+    norms_m = np.asarray(norms_col[:, 0]).copy()
+    norms_m[:150] = np.inf  # exclude the first 150 ids
+    nr_m = jnp.broadcast_to(jnp.asarray(norms_m)[None, :], (8, len(norms_m)))
+    _, i_m = replica_scan_topk_t(queries, dec_t, jnp.asarray(nr_m), topk=2,
+                                 blk=1024, interpret=True)
+    i_m = np.asarray(i_m)
+    assert ((i_m >= 150) & (i_m < 300)).all()
+
+
 def test_i8_replica_scan_rescored_matches_exact():
     from rii_tpu.ops.pallas_scan import (
         replica_i8_scan_topk, quantize_replica_i8)
