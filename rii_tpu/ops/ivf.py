@@ -107,9 +107,13 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
 
         flat_i = flat.astype(jnp.int32)
         dup_i = dup.astype(jnp.int32)
-        if interpret:
+        if interpret or d % 128 != 0:
+            # the multi-window variant's MANUAL DMA slices need 128-aligned
+            # lane dims (Mosaic tiling); odd D rides the auto-pipelined
+            # single-window variant (same math, one window per grid step)
             vmin, amin = ivf_window_tile_minima(
-                q_all, decoded_g, flat_i, dup_i, cap_v=cap_u, interpret=True)
+                q_all, decoded_g, flat_i, dup_i, cap_v=cap_u,
+                interpret=interpret)
         else:
             # bound the per-step output block (wpb * 2*cap_v/8 * Q * 8B) to
             # ~4 MB so large windows / big batches stay inside VMEM

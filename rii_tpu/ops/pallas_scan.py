@@ -247,12 +247,23 @@ def _replica_t_kernel(decT_ref, nr_ref, q_ref, key_ref, *, blk, qn):
             lax.bitcast_convert_type(key, jnp.float32), axis=2)
 
 
+def _nn_blk(cap, blk):
+    """NN out-block constraint: (qn, blk/128) last dim must be 128-divisible
+    (blk % 16384 == 0) or equal to the whole array (blk == cap)."""
+    if cap % _TBLK == 0:
+        return _TBLK
+    assert cap <= 1 << 17, (
+        f"cap={cap}: transposed NN scan needs cap % {_TBLK} == 0 or a "
+        f"single-block-capable cap; pad capacity to a multiple of {_TBLK}")
+    return cap
+
+
 def _replica_keys_nn(queries, decoded_t, norms_rep, blk=_TBLK,
                      interpret=False):
     """Packed per-128-slot min keys (Q, cap/128) via the NN kernel."""
     d, cap = decoded_t.shape
     qn = queries.shape[0]
-    blk = min(blk, cap)
+    blk = _nn_blk(cap, blk)
     assert cap % blk == 0 and blk % _TILE == 0, (cap, blk)
     nt_total = cap // _TILE
     qb = queries.astype(jnp.bfloat16)  # (Q, D)
@@ -328,10 +339,12 @@ def _replica_tn_kernel(decT_ref, nc_ref, q_ref, key_ref, *, blk):
 
 def _replica_keys_tn(queries, decoded_t, norms_rep, interpret=False):
     """Packed per-128-slot min keys (Q, cap/128) via the TN kernel."""
+    import math
     d, cap = decoded_t.shape
     qn = queries.shape[0]
     # bound the (BLK, Q) f32 score transient to ~32 MB
     blk = min(_TBLK, cap, max(1024, ((1 << 23) // qn) // 1024 * 1024))
+    blk = math.gcd(blk, cap)  # sharded caps are k*1024, not pow2
     assert cap % blk == 0 and blk % _TILE == 0, (cap, blk, qn)
     nt_total = cap // _TILE
     qb = queries.astype(jnp.bfloat16)  # (Q, D)
@@ -419,6 +432,151 @@ def prepare_replica_t(decoded, norms_flat):
     norms_rep = jnp.broadcast_to(norms_flat[None, :],
                                  (8, norms_flat.shape[0]))
     return decoded_t, jnp.asarray(norms_rep)
+
+
+# --------------------------------------------------------------------------- #
+# transposed int8 replica: half the HBM traffic of bf16-T — the fastest
+# small-Q selection pass — with the same exact top-k rescore as the row int8.
+# --------------------------------------------------------------------------- #
+
+def _replica_i8t_kernel(decT_ref, nr_ref, q_ref, alpha_ref, key_ref, *,
+                        blk, qn):
+    nt = blk // _TILE
+    for c in range(-(-qn // _QCHUNK)):  # static unroll over query chunks
+        lo = c * _QCHUNK
+        hi = min(qn, lo + _QCHUNK)
+        qc = hi - lo
+        qs = q_ref[lo:hi, :]  # (qc, D) int8
+        cross = jnp.dot(qs, decT_ref[...],
+                        preferred_element_type=jnp.int32)  # (qc, BLK)
+        scores = (nr_ref[0:1, :]
+                  - 2.0 * cross.astype(jnp.float32) * alpha_ref[lo:hi, :])
+        st = jnp.minimum(scores, jnp.float32(_PACK_CLAMP)).reshape(
+            qc, nt, _TILE)
+        lane = lax.broadcasted_iota(jnp.int32, (qc, nt, _TILE), 2)
+        bits = lax.bitcast_convert_type(st, jnp.int32)
+        key = (bits & jnp.int32(~0x7F)) | lane
+        key_ref[lo:hi, :] = jnp.min(
+            lax.bitcast_convert_type(key, jnp.float32), axis=2)
+
+
+def _replica_i8tn_kernel(decT_ref, nc_ref, q_ref, alpha_ref, key_ref, *, blk):
+    qn = q_ref.shape[0]
+    ntiles = blk // _TILE
+    cross = lax.dot_general(decT_ref[...], q_ref[...],
+                            (((0,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)  # (BLK, Q)
+    scores = nc_ref[...] - 2.0 * cross.astype(jnp.float32) * alpha_ref[...]
+    st = jnp.minimum(scores, jnp.float32(_PACK_CLAMP)).reshape(
+        ntiles, _TILE, qn)
+    row = lax.broadcasted_iota(jnp.int32, (ntiles, _TILE, qn), 1)
+    bits = lax.bitcast_convert_type(st, jnp.int32)
+    key = (bits & jnp.int32(~0x7F)) | row
+    key_ref[...] = jnp.min(lax.bitcast_convert_type(key, jnp.float32), axis=1)
+
+
+def _quantize_queries_i8(queries, col_scales):
+    """Fold per-column scales into the queries and quantize per query."""
+    q = queries.astype(jnp.float32)
+    qs = q * col_scales[None, :]  # (Q, D)
+    qmax = jnp.maximum(jnp.max(jnp.abs(qs), axis=1), 1e-30)  # (Q,)
+    qscale = qmax / 127.0
+    q_i8 = jnp.clip(jnp.round(qs / qscale[:, None]), -127, 127).astype(jnp.int8)
+    return q_i8, qscale
+
+
+def _replica_keys_i8t(queries, decoded_i8_t, col_scales, norms_rep,
+                      interpret=False):
+    """Packed per-128-slot min keys over the transposed int8 replica."""
+    import math
+    d, cap = decoded_i8_t.shape
+    qn = queries.shape[0]
+    nt_total = cap // _TILE
+    q_i8, qscale = _quantize_queries_i8(queries, col_scales)
+    big_q = qn >= _TN_MIN_Q
+    vmem = None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)
+    if big_q:
+        blk = min(_TBLK, cap, max(1024, ((1 << 23) // qn) // 1024 * 1024))
+        blk = math.gcd(blk, cap)
+        norms_col = norms_rep[0].reshape(cap, 1)
+        alpha = qscale[None, :]  # (1, Q)
+        keys_t = pl.pallas_call(
+            partial(_replica_i8tn_kernel, blk=blk),
+            grid=(cap // blk,),
+            in_specs=[
+                pl.BlockSpec((d, blk), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((blk, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((qn, d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, qn), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((blk // _TILE, qn), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nt_total, qn), jnp.float32),
+            compiler_params=vmem,
+            interpret=interpret,
+        )(decoded_i8_t, norms_col, q_i8, alpha)
+        return keys_t.T
+    blk = _nn_blk(cap, _TBLK)
+    alpha = qscale[:, None]  # (Q, 1)
+    return pl.pallas_call(
+        partial(_replica_i8t_kernel, blk=blk, qn=qn),
+        grid=(cap // blk,),
+        in_specs=[
+            pl.BlockSpec((d, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((qn, blk // _TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qn, nt_total), jnp.float32),
+        compiler_params=vmem,
+        interpret=interpret,
+    )(decoded_i8_t, norms_rep, q_i8, alpha)
+
+
+@partial(jax.jit, static_argnames=("topk", "interpret", "recall_target",
+                                   "overfetch"))
+def replica_i8_scan_topk_t(queries, decoded_i8_t, col_scales, norms_rep,
+                           codes, codewords, topk, interpret=False,
+                           recall_target=0.99, overfetch=2):
+    """Transposed int8 replica scan with exact bf16-class top-k rescoring.
+
+    Same contract as :func:`replica_i8_scan_topk`, but the int8 replica is
+    stored (D, cap) so the selection pass is DMA-bound at HALF the bf16-T
+    traffic (see the transposed-replica block comment). The int8 pass selects
+    `overfetch * topk` candidates; their exact decoded rows are reconstructed
+    from the uint8 codes and re-scored in f32.
+    """
+    qn = queries.shape[0]
+    keys = _replica_keys_i8t(queries, decoded_i8_t, col_scales, norms_rep,
+                             interpret=interpret)
+    k_fetch = min(max(topk * overfetch, topk + 8), keys.shape[1])
+    d_a, ids_a = _merge_packed_keys(queries, keys, k_fetch, recall_target)
+
+    from rii_tpu.ops.decode import onehot_decode
+    safe = jnp.maximum(ids_a, 0)
+    cand_codes = jnp.take(codes, safe, axis=0)  # (Q, k_fetch, M)
+    dec = onehot_decode(cand_codes.reshape(qn * k_fetch, -1),
+                        codewords, dtype=jnp.bfloat16,
+                        precision=lax.Precision.DEFAULT
+                        ).reshape(qn, k_fetch, -1)
+    q = queries.astype(jnp.float32)
+    cross = jnp.einsum("qkd,qd->qk", dec, q.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    norms_c = jnp.take(norms_rep[0], safe)
+    qsq = jnp.sum(q * q, axis=1)
+    exact = jnp.where(ids_a >= 0, norms_c - 2.0 * cross + qsq[:, None], jnp.inf)
+    neg, pos = lax.top_k(-exact, topk)
+    ids = jnp.take_along_axis(ids_a, pos, axis=1)
+    dists = -neg
+    ids = jnp.where(jnp.isfinite(dists), ids, -1)
+    return dists, ids
 
 
 # --------------------------------------------------------------------------- #

@@ -97,7 +97,12 @@ class ShardedRii:
         norms = code_norms_np(cw, codes)
 
         n = len(codes)
-        block = 1024
+        # accelerator + replica: shard capacity in 16384-row granules so the
+        # transposed NN kernel's out-block constraint holds per shard
+        use_dec_opt = self._use_decoded_opt
+        if use_dec_opt is None:
+            use_dec_opt = True  # resolved properly below; granule is cheap
+        block = 16384 if (self._use_pallas() and use_dec_opt) else 1024
         cap = -(-max(n, 1) // (self.ndev * block)) * (self.ndev * block)
         codes_pad = np.zeros((cap, codes.shape[1]), np.uint8)
         codes_pad[:n] = codes
@@ -115,6 +120,8 @@ class ShardedRii:
         if use_decoded is None:
             use_decoded = engine._use_decoded_cache(cap)
         self.decoded = None
+        self.decoded_t = None
+        self.norms_rep = None
         sh = jax.sharding.NamedSharding(mesh, P(DATA_AXIS, None))
         if use_decoded:
             # decode under jit: sharding propagates row-wise, each device
@@ -122,6 +129,18 @@ class ShardedRii:
             self.decoded = jax.jit(
                 build_decoded_cache, static_argnames=("block",),
                 out_shardings=sh)(self.codes, self.codewords, block=self.block)
+            if self._use_pallas():
+                # accelerator: per-shard TRANSPOSED replica so each chip's
+                # scan rides the roofline kernel (ops/pallas_scan.py
+                # transposed-replica block comment)
+                sh_t = jax.sharding.NamedSharding(mesh, P(None, DATA_AXIS))
+                sh_r = jax.sharding.NamedSharding(mesh, P(None, DATA_AXIS))
+                self.decoded_t = jax.jit(jnp.transpose, out_shardings=sh_t)(
+                    self.decoded)
+                self.norms_rep = jax.jit(
+                    lambda n: jnp.broadcast_to(n[None, :], (8, n.shape[0])),
+                    out_shardings=sh_r)(self.norms)
+                self.decoded = None  # one replica per shard, not two
 
         # sharded IVF over the balanced virtual-bucket layout: each shard owns
         # a contiguous range of virtual windows + their (replicated-center
@@ -218,7 +237,8 @@ class ShardedRii:
         return jnp.asarray(tp), jnp.int32(s), s
 
     def _scan_fn(self, topk, s_pad):
-        key = (topk, self.decoded is not None, s_pad)
+        use_t = self.decoded_t is not None
+        key = (topk, self.decoded is not None, use_t, s_pad)
         if key in self._scan_cache:
             return self._scan_cache[key]
         shard_cap = self.cap // self.ndev
@@ -229,6 +249,7 @@ class ShardedRii:
 
         def _local(queries, codes_l, norms_l, codewords, dec_l, tids, nt):
             my = lax.axis_index(DATA_AXIS)
+            member = None
             if has_tids:
                 # subset filter: membership of this shard's GLOBAL row ids in
                 # the replicated sorted target set (the searchsorted
@@ -236,7 +257,12 @@ class ShardedRii:
                 gid_l = my * shard_cap + jnp.arange(shard_cap, dtype=jnp.int32)
                 member = _searchsorted_member(tids, nt, gid_l)
                 norms_l = jnp.where(member, norms_l, jnp.inf)
-            if use_dec:
+            if use_t:
+                from rii_tpu.ops.pallas_scan import replica_scan_topk_t
+                nr_l = jnp.broadcast_to(norms_l[None, :], (8, shard_cap))
+                d_l, i_l = replica_scan_topk_t(
+                    queries, dec_l, nr_l, topk=topk, recall_target=rt)
+            elif use_dec:
                 d_l, i_l = linear_scan_topk_decoded(
                     queries, dec_l, norms_l, topk=topk, block=blk,
                     recall_target=rt)
@@ -255,11 +281,12 @@ class ShardedRii:
             ids = jnp.where(jnp.isfinite(-neg), ids, -1)
             return -neg, ids
 
+        dec_spec = P(None, DATA_AXIS) if use_t else P(DATA_AXIS, None)
         fn = jax.jit(shard_map(
             _local,
             mesh=self.mesh,
             in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS), P(),
-                      P(DATA_AXIS, None), P(), P()),
+                      dec_spec, P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         ))
@@ -372,7 +399,7 @@ class ShardedRii:
         target_ids subset; returns (ids int64, dists float64)."""
         queries = self._rotated(queries)
         tids, nt, s = self._prep_targets(target_ids, sort_target_ids)
-        dec = self.decoded
+        dec = self.decoded_t if self.decoded_t is not None else self.decoded
         if dec is None:
             # pass a tiny placeholder with the right sharding
             dec = self.norms[:, None]

@@ -46,6 +46,7 @@ from rii_tpu.ops.pallas_scan import (
     prepare_replica_t,
     quantize_replica_i8,
     replica_i8_scan_topk,
+    replica_i8_scan_topk_t,
     replica_scan_topk,
     replica_scan_topk_t,
 )
@@ -366,7 +367,12 @@ class Rii:
         rt = getattr(self, "topk_recall", None)
         use_pallas_replica = decoded is not None and self._use_pallas_scan()
         if tids is None:
-            if "decoded_i8" in dc:
+            if "decoded_i8_t" in dc:
+                d, i = replica_i8_scan_topk_t(
+                    qd, dc["decoded_i8_t"], dc["i8_scales"], dc["norms_rep"],
+                    dc["codes_flat"], dc["codewords"], topk=topk,
+                    recall_target=rt)
+            elif "decoded_i8" in dc:
                 d, i = replica_i8_scan_topk(
                     qd, dc["decoded_i8"], dc["i8_scales"],
                     dc["norms_flat"][:, None], dc["codes_flat"],
@@ -397,7 +403,16 @@ class Rii:
             # row gathers, whose XLA lowering degrades badly at 10k-100k rows
             mask = np.zeros(dc["cap"], dtype=bool)
             mask[np.clip(tids, 0, dc["cap"] - 1)] = True
-            if "decoded_i8" in dc:
+            if "decoded_i8_t" in dc:
+                norms_m = jnp.where(jnp.asarray(mask), dc["norms_flat"],
+                                    jnp.inf)
+                nr_m = jnp.asarray(jnp.broadcast_to(norms_m[None, :],
+                                                    (8, dc["cap"])))
+                d, i = replica_i8_scan_topk_t(
+                    qd, dc["decoded_i8_t"], dc["i8_scales"], nr_m,
+                    dc["codes_flat"], dc["codewords"], topk=topk,
+                    recall_target=rt)
+            elif "decoded_i8" in dc:
                 norms_col = np.asarray(dc["norms_flat"]).copy()
                 norms_col[~mask] = np.inf
                 d, i = replica_i8_scan_topk(
@@ -580,7 +595,11 @@ class Rii:
         if dc is not None and "nlist_v" in dc:
             wv = self._probe_width_virtual(L, s, dc)
             rows = min(qn * wv, dc["nlist_v"]) * dc["cap_v"]
-            return rows * 3 >= 2 * dc["cap"]
+            # aligned with _query_ivf_batch's internal linear fallback
+            # (2 * union_slots >= cap): if the ivf path would switch to the
+            # contiguous scan anyway, pick linear up front (AUTO_POLICY.md
+            # validates auto <= 1.2x the better method across the grid)
+            return 2 * rows >= dc["cap"]
         # legacy gather path: a gathered row costs ~8x a streamed one
         w = self._probe_width(L, s)
         cap_max = self.L0 * 2 if self.L0 else 1
@@ -712,7 +731,15 @@ class Rii:
                                                          dc["codewords"])
         elif resolved == "int8":
             decoded = build_decoded_cache(dc["codes_flat"], dc["codewords"])
-            dc["decoded_i8"], dc["i8_scales"] = quantize_replica_i8(decoded)
+            dec_i8, dc["i8_scales"] = quantize_replica_i8(decoded)
+            if self._use_pallas_scan():
+                # transposed int8 replica: half the bf16-T HBM traffic on the
+                # selection pass (exact rescore restores accuracy)
+                dc["decoded_i8_t"] = jnp.transpose(dec_i8)
+                dc["norms_rep"] = jnp.asarray(jnp.broadcast_to(
+                    dc["norms_flat"][None, :], (8, cap)))
+            else:
+                dc["decoded_i8"] = dec_i8
             del decoded
         elif self._use_pallas_scan():
             # memory-lean TPU path: fused Pallas scan over uint8 codes

@@ -202,6 +202,31 @@ def test_i8_replica_scan_rescored_matches_exact():
     assert np.all(np.diff(d_i, axis=1) >= -1e-3)
 
 
+def test_i8_transposed_scan_rescored_matches_exact():
+    from rii_tpu.ops.pallas_scan import (
+        prepare_replica_t, quantize_replica_i8, replica_i8_scan_topk_t)
+    from rii_tpu.ops.decode import build_decoded_cache
+    x, pq, codes, norms = _index()
+    queries = jnp.asarray(x[:8])
+    codes_p, norms_col, _ = prepare_pq_scan_inputs(codes, norms, pq.codewords,
+                                                   blk=1024)
+    decoded = build_decoded_cache(codes_p, jnp.asarray(pq.codewords), block=1024)
+    dec_i8, scales = quantize_replica_i8(decoded)
+    dec_i8_t = jnp.transpose(dec_i8)
+    _, norms_rep = prepare_replica_t(decoded, norms_col[:, 0])
+    d_i, i_i = replica_i8_scan_topk_t(queries, dec_i8_t, scales, norms_rep,
+                                      codes_p, jnp.asarray(pq.codewords),
+                                      topk=2, interpret=True,
+                                      recall_target=None, overfetch=4)
+    d_i, i_i = np.asarray(d_i), np.asarray(i_i)
+    for qi in range(8):
+        s = _oracle_scores(x[qi], codes, norms, pq.codewords) + (x[qi] ** 2).sum()
+        assert i_i[qi, 0] == int(np.argmin(s)), (qi, i_i[qi], np.argmin(s))
+        np.testing.assert_allclose(d_i[qi, 0], s.min(), rtol=2e-2, atol=2e-2)
+    assert np.all(np.diff(d_i, axis=1) >= -1e-3)
+    assert (i_i >= 0).all() and (i_i < len(codes)).all()
+
+
 def test_padded_codewords_decode_identity():
     _, pq, codes, _ = _index(n=128)
     cwp = np.asarray(build_padded_codewords(pq.codewords), dtype=np.float32)
