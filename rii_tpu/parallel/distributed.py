@@ -204,6 +204,11 @@ class ShardedRii:
         self.engine.add(vecs, update_posting_lists)
         return self.refresh()
 
+    def merge(self, engine, update_posting_lists="auto"):
+        """Append another engine's codes (Rii.merge semantics), re-place."""
+        self.engine.merge(engine, update_posting_lists)
+        return self.refresh()
+
     def reconfigure(self, nlist=None, iter=5):
         """Distributed reconfigure: PQk-means fit + posting assignment run
         SPMD on this mesh (parallel/build.py), then shards are re-placed."""
@@ -394,9 +399,29 @@ class ShardedRii:
                 np.asarray(d)[:qn].astype(np.float64))
 
     def query_batch(self, queries, topk=1, target_ids=None,
-                    sort_target_ids=True):
+                    sort_target_ids=True, L=None, method="linear"):
         """Exact ADC scan over all shards, optionally restricted to a global
-        target_ids subset; returns (ids int64, dists float64)."""
+        target_ids subset; returns (ids int64, dists float64).
+
+        The L/method kwargs make the signature serving-compatible
+        (rii_tpu.serving.QueryServer accepts a ShardedRii as its engine):
+        method='ivf' dispatches to :meth:`query_ivf_batch`; 'auto' follows
+        the wrapped engine's threshold policy. Default 'linear' keeps the
+        exact-scan contract.
+        """
+        assert method in ("auto", "linear", "ivf")
+        if method == "auto":
+            e = self.engine
+            s = e.N if target_ids is None else len(target_ids)
+            L_eff = L if L is not None else \
+                e._multiple_of_L0_covering_topk(topk)
+            e._ensure_cache()
+            method = "linear" if e._use_linear(
+                s, L_eff, qn=np.atleast_2d(queries).shape[0]) else "ivf"
+        if method == "ivf":
+            return self.query_ivf_batch(queries, topk=topk, L=L,
+                                        target_ids=target_ids,
+                                        sort_target_ids=sort_target_ids)
         queries = self._rotated(queries)
         tids, nt, s = self._prep_targets(target_ids, sort_target_ids)
         dec = self.decoded_t if self.decoded_t is not None else self.decoded

@@ -829,6 +829,26 @@ class Rii:
     # diagnostics & serialization
     # ------------------------------------------------------------------ #
 
+    def memory_breakdown(self):
+        """Per-component device-cache footprint in bytes (+ host canonical).
+
+        The reference documents its memory model as codes N*M + postings N*4
+        + centers nlist*M bytes (/root/reference/src/rii.h:81-82); the TPU
+        engine adds the optional replicas and grouped layouts. The device
+        cache is derived state — rebuilt lazily, dropped on mutation.
+        """
+        out = {"host_codes": self._n * self.M,
+               "host_assignments": self._n * 4}
+        dc = self._ensure_cache() if self._n else {}
+        dev = 0
+        for k, v in dc.items():
+            nb = getattr(v, "nbytes", None)
+            if nb is not None and not np.isscalar(v):
+                out[f"device:{k}"] = int(nb)
+                dev += int(nb)
+        out["device_total"] = dev
+        return out
+
     def print_params(self):
         """Diagnostic dump (parity with /root/reference/rii/rii.py:330-372)."""
         print("verbose:", self.verbose)

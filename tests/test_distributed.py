@@ -173,6 +173,29 @@ def test_sharded_add_then_query():
     assert (ids_s == ids_e).mean() > 0.9
 
 
+def test_sharded_merge_matches_engine():
+    rng = np.random.RandomState(37)
+    X = rng.random((2000, 32)).astype(np.float32)
+    Y = rng.random((500, 32)).astype(np.float32)
+    pq = PQ(M=4, Ks=32).fit(X[:512], iter=3)
+    e1 = Rii(pq)
+    e1.add_configure(X, nlist=24, iter=3)
+    other = Rii(pq)
+    other.add(Y, update_posting_lists=False)
+
+    sr = ShardedRii(e1)
+    sr.merge(other)
+    assert sr.engine.N == 2500
+
+    e2 = Rii(pq)
+    e2.add_configure(X, nlist=24, iter=3)
+    e2.merge(other)
+    ids_s, d_s = sr.query_batch(Y[:4], topk=5)
+    ids_e, d_e = e2.query_batch(Y[:4], topk=5, method="linear")
+    np.testing.assert_allclose(d_s, d_e, rtol=1e-3, atol=1e-3)
+    assert (ids_s == ids_e).mean() > 0.9
+
+
 def test_sharded_reconfigure_bit_identical_to_single_device():
     """The distributed build (mesh fit + mesh posting assignment) must produce
     bit-identical coarse centers and posting lists (VERDICT round-1 item 3)."""

@@ -54,3 +54,20 @@ def test_add_without_update_is_invisible_to_ivf_until_reconfigure():
     assert sum(len(pl) for pl in e.posting_lists) == 1500
     ids, _ = e.query(X2[7], topk=3, L=1500, method="ivf")
     assert 1007 in ids
+
+
+def test_memory_breakdown_accounts_device_cache():
+    rng = np.random.RandomState(15)
+    X = rng.random((2000, 32)).astype(np.float32)
+    e = Rii(fine_quantizer=PQ(M=4, Ks=32).fit(X[:512], iter=3))
+    e.add_configure(X, nlist=20, iter=3)
+    mb = e.memory_breakdown()
+    assert mb["host_codes"] == 2000 * 4
+    assert mb["host_assignments"] == 2000 * 4
+    assert mb["device:codes_flat"] >= 2000 * 4  # padded capacity
+    assert mb["device_total"] == sum(
+        v for k, v in mb.items() if k.startswith("device:"))
+    # mutation invalidates and rebuilds
+    e.add(X[:100], update_posting_lists=True)
+    mb2 = e.memory_breakdown()
+    assert mb2["host_codes"] == 2100 * 4

@@ -140,6 +140,23 @@ def test_stop_drains_pending_and_rejects_new(engine):
         srv.submit(X[1], topk=3)
 
 
+def test_query_server_over_sharded_engine(engine):
+    """QueryServer accepts a ShardedRii: the serving layer composes with the
+    multi-chip engine (same signature contract)."""
+    from rii_tpu.parallel import ShardedRii
+    e, X = engine
+    sr = ShardedRii(e)
+    with QueryServer(sr, max_wait_ms=5) as srv:
+        fut = srv.submit(X[7], topk=5)
+        ids, dists = fut.result(timeout=120)
+    assert ids.shape == (5,)
+    # the server submits with method='auto' (may route to IVF); distances
+    # agree at f32-rounding level with the direct linear scan
+    ids_d, dists_d = sr.query_batch(X[7:8], topk=5)
+    np.testing.assert_array_equal(ids, ids_d[0])
+    np.testing.assert_allclose(dists, dists_d[0], rtol=1e-4)
+
+
 def test_backpressure_bounded_queue(engine):
     e, X = engine
     srv = QueryServer(e, max_queue=2, submit_timeout_s=0.05)
