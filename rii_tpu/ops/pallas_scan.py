@@ -55,7 +55,7 @@ def build_padded_codewords(codewords):
 
 
 def _scan_kernel(codes_ref, norms_ref, qt_ref, cw_ref, min_ref, arg_ref,
-                 *, ks, blk):
+                 *, ks, blk, packed=True):
     """One grid step: scores for BLK codes -> per-tile (min, argmin), (nt, Q).
 
     All inner loops are unrolled with static indices: the Mosaic build in this
@@ -81,7 +81,8 @@ def _scan_kernel(codes_ref, norms_ref, qt_ref, cw_ref, min_ref, arg_ref,
         cross = jnp.dot(dec.astype(jnp.bfloat16), qt_ref[...],
                         preferred_element_type=jnp.float32)  # (SUB, Q)
         scores = norms_ref[s * _SUB:(s + 1) * _SUB, :] - 2.0 * cross
-        _tile_reduce_and_store(scores, base, s, qn, min_ref, arg_ref)
+        _tile_reduce_and_store(scores, base, s, qn, min_ref, arg_ref,
+                               packed=packed)
 
 
 _PACK_CLAMP = 3.0e38   # +inf clamped finite so packing can't produce NaN
@@ -197,9 +198,12 @@ def _merge_tile_minima(queries, vmin, amin, topk, recall_target):
 @partial(jax.jit, static_argnames=("topk", "blk", "interpret", "recall_target",
                                    "packed"))
 def replica_scan_topk(queries, decoded, norms_col, topk, blk=1024,
-                      interpret=False, recall_target=0.99, packed=True):
+                      interpret=False, recall_target=0.99, packed=None):
     """Fused replica scan (GEMM + tile reduce in one kernel). Same accuracy
-    class as pq_scan_topk; the fastest full-scan path."""
+    class as pq_scan_topk. packed=None follows the contract: bit-exact reduce
+    for recall_target=None, packed-key otherwise."""
+    if packed is None:
+        packed = recall_target is not None
     vmin, amin = replica_scan_tile_minima(queries, decoded, norms_col, blk=blk,
                                           interpret=interpret, packed=packed)
     return _merge_tile_minima(queries, vmin, amin, topk, recall_target)
@@ -572,9 +576,14 @@ def replica_i8_scan_topk_t(queries, decoded_i8_t, col_scales, norms_rep,
     norms_c = jnp.take(norms_rep[0], safe)
     qsq = jnp.sum(q * q, axis=1)
     exact = jnp.where(ids_a >= 0, norms_c - 2.0 * cross + qsq[:, None], jnp.inf)
-    neg, pos = lax.top_k(-exact, topk)
+    k_out = min(topk, exact.shape[1])
+    neg, pos = lax.top_k(-exact, k_out)
     ids = jnp.take_along_axis(ids_a, pos, axis=1)
     dists = -neg
+    if k_out < topk:  # tiny caps: fewer tiles than topk
+        pad = topk - k_out
+        dists = jnp.concatenate([dists, jnp.full((qn, pad), jnp.inf)], axis=1)
+        ids = jnp.concatenate([ids, jnp.full((qn, pad), -1, ids.dtype)], axis=1)
     ids = jnp.where(jnp.isfinite(dists), ids, -1)
     return dists, ids
 
@@ -611,11 +620,7 @@ def replica_i8_scan_tile_minima(queries, decoded_i8, col_scales, norms_col,
     assert cap % blk == 0 and blk % _SUB == 0 and blk // _TILE >= 8, (cap, blk)
     nt = cap // _TILE
 
-    q = queries.astype(jnp.float32)
-    qs = q * col_scales[None, :]  # (Q, D)
-    qmax = jnp.maximum(jnp.max(jnp.abs(qs), axis=1), 1e-30)  # (Q,)
-    qscale = qmax / 127.0
-    q_i8 = jnp.clip(jnp.round(qs / qscale[:, None]), -127, 127).astype(jnp.int8)
+    q_i8, qscale = _quantize_queries_i8(queries, col_scales)
     alpha = qscale[None, :]  # (1, Q): cross_f32 = cross_i32 * alpha
 
     kernel = partial(_replica_i8_kernel, blk=blk)
@@ -680,9 +685,14 @@ def replica_i8_scan_topk(queries, decoded_i8, col_scales, norms_col,
     norms_c = jnp.take(norms_col[:, 0], safe)
     qsq = jnp.sum(q * q, axis=1)
     exact = jnp.where(ids_a >= 0, norms_c - 2.0 * cross + qsq[:, None], jnp.inf)
-    neg, pos = lax.top_k(-exact, topk)
+    k_out = min(topk, exact.shape[1])
+    neg, pos = lax.top_k(-exact, k_out)
     ids = jnp.take_along_axis(ids_a, pos, axis=1)
     dists = -neg
+    if k_out < topk:  # tiny caps: fewer tiles than topk
+        pad = topk - k_out
+        dists = jnp.concatenate([dists, jnp.full((qn, pad), jnp.inf)], axis=1)
+        ids = jnp.concatenate([ids, jnp.full((qn, pad), -1, ids.dtype)], axis=1)
     ids = jnp.where(jnp.isfinite(dists), ids, -1)
     return dists, ids
 
@@ -699,9 +709,9 @@ def quantize_replica_i8(decoded, eps=1e-30):
     return q.astype(jnp.int8), col_scales
 
 
-@partial(jax.jit, static_argnames=("blk", "interpret"))
+@partial(jax.jit, static_argnames=("blk", "interpret", "packed"))
 def pq_scan_tile_minima(queries, codes, norms_col, cw_padded, blk=1024,
-                        interpret=False):
+                        interpret=False, packed=False):
     """Kernel contract: per-query (min, arg-id) over each 128-slot tile.
 
     Args:
@@ -723,7 +733,7 @@ def pq_scan_tile_minima(queries, codes, norms_col, cw_padded, blk=1024,
     grid = (cap // blk,)
 
     qt = queries.astype(jnp.bfloat16).T  # (D, Q)
-    kernel = partial(_scan_kernel, ks=ks, blk=blk)
+    kernel = partial(_scan_kernel, ks=ks, blk=blk, packed=packed)
     vmin_t, amin_t = pl.pallas_call(
         kernel,
         grid=grid,
@@ -757,9 +767,12 @@ def pq_scan_topk(queries, codes, norms_col, cw_padded, topk, blk=1024,
     Returns (dists (Q, topk) f32 ascending, ids (Q, topk) int32, -1 padded).
     Accuracy: exact except when two of the true top-k fall in one 128-slot
     tile (negligible when N/128 >> topk^2; use the XLA paths otherwise).
+    With a recall_target the faster packed-key epilogue is used (2^-16
+    relative rounding); recall_target=None keeps the bit-exact reduce.
     """
     vmin, amin = pq_scan_tile_minima(queries, codes, norms_col, cw_padded,
-                                     blk=blk, interpret=interpret)
+                                     blk=blk, interpret=interpret,
+                                     packed=recall_target is not None)
     return _merge_tile_minima(queries, vmin, amin, topk, recall_target)
 
 

@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from rii_tpu.models.pqkmeans import (
@@ -37,7 +37,7 @@ from rii_tpu.models.pqkmeans import (
     _update_centers,
     fit_layout,
 )
-from rii_tpu.parallel.mesh import DATA_AXIS
+from rii_tpu.parallel.mesh import DATA_AXIS, put_sharded
 
 _RECONFIGURE_SAMPLE_SEED = 123  # mirrors src/rii.h:122 (same as rii.py)
 _PQKMEANS_SEED = 0
@@ -131,12 +131,10 @@ def fit_on_mesh(mesh, codewords, codes, k, iters=5, seed=_PQKMEANS_SEED,
     blk, nb = fit_layout(n, groups=g)
     codes_blocks, weights_blocks = _pad_blocks(codes, blk, n_blocks=nb)
     m = codes.shape[1]
-    codes_gb = codes_blocks.reshape(g, nb // g, blk, m)
-    weights_gb = weights_blocks.reshape(g, nb // g, blk)
-    codes_gb = jax.device_put(codes_gb, NamedSharding(
-        mesh, P(axis_name, None, None, None)))
-    weights_gb = jax.device_put(weights_gb, NamedSharding(
-        mesh, P(axis_name, None, None)))
+    codes_gb = np.asarray(codes_blocks).reshape(g, nb // g, blk, m)
+    weights_gb = np.asarray(weights_blocks).reshape(g, nb // g, blk)
+    codes_gb = put_sharded(mesh, codes_gb, P(axis_name, None, None, None))
+    weights_gb = put_sharded(mesh, weights_gb, P(axis_name, None, None))
     pick = np.random.RandomState(seed).permutation(n)[:k]
     centers0 = jnp.asarray(codes[pick].astype(np.int32))
     cw = jnp.asarray(np.asarray(codewords), dtype=jnp.float32)
@@ -160,10 +158,10 @@ def predict_on_mesh(mesh, codewords, centers, codes, block=4096,
     nb_raw = -(-n // blk)
     nb = -(-nb_raw // ndev) * ndev
     codes_blocks, weights_blocks = _pad_blocks(codes, blk, n_blocks=nb)
-    codes_blocks = jax.device_put(codes_blocks, NamedSharding(
-        mesh, P(axis_name, None, None)))
-    weights_blocks = jax.device_put(weights_blocks, NamedSharding(
-        mesh, P(axis_name, None)))
+    codes_blocks = put_sharded(mesh, np.asarray(codes_blocks),
+                               P(axis_name, None, None))
+    weights_blocks = put_sharded(mesh, np.asarray(weights_blocks),
+                                 P(axis_name, None))
     cw = jnp.asarray(np.asarray(codewords), dtype=jnp.float32)
     centers_j = jnp.asarray(np.asarray(centers).astype(np.int32))
     fn = make_sharded_predict(mesh, axis_name=axis_name)

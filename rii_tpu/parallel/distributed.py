@@ -52,6 +52,13 @@ def _pow2(n):
     return v
 
 
+def _pow2_ge(n, lo):
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
 def init_distributed(**kwargs):
     """Bring up the multi-host runtime (no-op if already initialized)."""
     try:
@@ -152,9 +159,18 @@ class ShardedRii:
             from rii_tpu.models.ivf import build_virtual_layout
             ul = build_virtual_layout(codes, norms, engine._assignments(),
                                       engine.nlist, pad_to=8 * self.ndev)
-            centers_dec = np.asarray(
-                engine._ensure_cache()["centers_dec"], np.float32)
-            cn = (centers_dec ** 2).sum(axis=1)
+            # decode coarse centers on host — do NOT touch engine._ensure_cache
+            # here: that would materialize the FULL single-device cache on one
+            # chip, defeating sharding at the big-N scales ShardedRii targets
+            nlist = engine.nlist
+            nlist_pad = _pow2_ge(nlist, 8)
+            dec = cw[np.arange(engine.M)[None, :],
+                     engine._centers.astype(np.int64)]
+            centers_dec = np.zeros((nlist_pad, cw.shape[0] * cw.shape[2]),
+                                   np.float32)
+            centers_dec[:nlist] = dec.reshape(nlist, -1)
+            cn = np.full(nlist_pad, np.inf, np.float32)
+            cn[:nlist] = (centers_dec[:nlist] ** 2).sum(axis=1)
             vreal = ul["vreal"]
             cdv = centers_dec[np.clip(vreal, 0, centers_dec.shape[0] - 1)]
             cnv = np.where(vreal >= 0,
@@ -186,9 +202,8 @@ class ShardedRii:
                 self.ivf["vlen_g"] = put_sharded(mesh, ul["vlen"], P(DATA_AXIS))
                 if self._use_pallas():
                     from rii_tpu.ops.pallas_scan import build_padded_codewords
-                    self.ivf["cw_padded"] = jax.device_put(
-                        build_padded_codewords(cw),
-                        jax.sharding.NamedSharding(mesh, P()))
+                    self.ivf["cw_padded"] = put_sharded(
+                        mesh, np.asarray(build_padded_codewords(cw)), P())
         return self
 
     def _use_pallas(self):
@@ -355,6 +370,24 @@ class ShardedRii:
         self._scan_cache[key] = fn
         return fn
 
+    def _use_linear(self, queries, topk, L, target_ids):
+        """Sharded auto policy: the engine's threshold(L) + the union-volume
+        guard, computed from the SHARDED layout stats (never touches the
+        engine's single-device cache)."""
+        e = self.engine
+        if self.ivf is None or e.threshold is None:
+            return True  # linear is the only available path
+        s = e.N if target_ids is None else len(target_ids)
+        L_eff = L if L is not None else e._multiple_of_L0_covering_topk(topk)
+        if s <= e.threshold(L_eff):
+            return True
+        iv = self.ivf
+        qn = np.atleast_2d(queries).shape[0]
+        slack = 3 * max(1, -(-iv["nlist_v"] // max(1, e.nlist)))
+        wv = int(np.round(float(L_eff) * iv["nlist_v"] / max(1, s))) + slack
+        rows = min(qn * wv, iv["nlist_v"]) * iv["cap_v"]
+        return 2 * rows >= self.cap
+
     def query_ivf_batch(self, queries, topk=1, L=None, target_ids=None,
                         sort_target_ids=True):
         """Sharded IVF probe: each shard probes its own wv/ndev nearest local
@@ -411,13 +444,8 @@ class ShardedRii:
         """
         assert method in ("auto", "linear", "ivf")
         if method == "auto":
-            e = self.engine
-            s = e.N if target_ids is None else len(target_ids)
-            L_eff = L if L is not None else \
-                e._multiple_of_L0_covering_topk(topk)
-            e._ensure_cache()
-            method = "linear" if e._use_linear(
-                s, L_eff, qn=np.atleast_2d(queries).shape[0]) else "ivf"
+            method = "linear" if self._use_linear(
+                queries, topk, L, target_ids) else "ivf"
         if method == "ivf":
             return self.query_ivf_batch(queries, topk=topk, L=L,
                                         target_ids=target_ids,

@@ -70,6 +70,7 @@ class QueryServer:
         self._thread = None
         self._running = False
         self._stopped = False
+        self._submit_lock = threading.Lock()  # orders submit() vs stop()
         self._lat = []  # end-to-end seconds per request (bounded window)
         self._served = 0
         self._t_start = None
@@ -89,18 +90,24 @@ class QueryServer:
         """Stop the dispatcher; pending futures fail with RuntimeError.
 
         Subsequent ``submit`` calls raise. Requests already dispatched to the
-        device complete normally.
+        device complete normally. The dispatcher thread performs its own
+        drain on exit, so a request it pulls/parks concurrently (e.g. while a
+        long first-dispatch compile delays the join) is still resolved.
         """
-        self._running = False
-        self._stopped = True
+        with self._submit_lock:  # no submit() can land after this point
+            self._running = False
+            self._stopped = True
         if self._thread is not None:
             self._thread.join(timeout=10)
             self._thread = None
-        # drain anything still pending so callers blocked on result() wake up
+        self._drain_pending()
+
+    def _drain_pending(self):
+        """Fail every queued/held request with 'server stopped'."""
         leftovers = []
-        if self._held is not None:
-            leftovers.append(self._held)
-            self._held = None
+        held, self._held = self._held, None
+        if held is not None:
+            leftovers.append(held)
         while True:
             try:
                 leftovers.append(self._q.get_nowait())
@@ -123,14 +130,15 @@ class QueryServer:
 
         Raises RuntimeError after stop(); raises queue.Full when max_queue
         backpressure holds for longer than submit_timeout_s."""
-        if self._stopped:
-            raise RuntimeError("server stopped")
         arr = np.asarray(queries)
         squeeze = arr.ndim == 1
         arr = np.ascontiguousarray(np.atleast_2d(arr), dtype=np.float32)
         assert arr.shape[0] <= self.max_batch, "mini-batch exceeds max_batch"
         req = _Request(arr, int(topk), L, target_ids, method, squeeze)
-        self._q.put(req, timeout=self.submit_timeout_s)
+        with self._submit_lock:
+            if self._stopped:
+                raise RuntimeError("server stopped")
+            self._q.put(req, timeout=self.submit_timeout_s)
         return req.future
 
     def stats(self):
@@ -213,3 +221,7 @@ class QueryServer:
                 off += n
             if len(self._lat) > 8192:
                 del self._lat[: len(self._lat) - 4096]
+        if self._stopped:
+            # dispatcher-side drain: catches requests pulled or parked in
+            # _held after stop()'s drain already ran (long-dispatch race)
+            self._drain_pending()

@@ -173,6 +173,35 @@ def test_sharded_add_then_query():
     assert (ids_s == ids_e).mean() > 0.9
 
 
+def test_sharded_rii_never_builds_single_device_cache():
+    """ShardedRii exists for databases that do NOT fit one chip: neither
+    construction nor queries (including method='auto') may materialize the
+    engine's full single-device cache."""
+    e, X = _engine()
+    assert e._dc is None or e._dc["version"] != e._version  # fresh state
+    e._dc = None
+    s = ShardedRii(e)
+    assert e._dc is None, "refresh() built the single-device cache"
+    s.query_batch(X[:4], topk=3)
+    s.query_batch(X[:4], topk=3, method="auto")
+    s.query_ivf_batch(X[:4], topk=3)
+    tids = np.arange(0, 1000, dtype=np.int64)
+    s.query_batch(X[:4], topk=3, target_ids=tids, method="auto")
+    assert e._dc is None, "a query path built the single-device cache"
+
+
+def test_sharded_auto_with_unreconfigured_engine_falls_back_linear():
+    X = np.random.RandomState(41).random((1200, 32)).astype(np.float32)
+    e = Rii(fine_quantizer=PQ(M=4, Ks=32).fit(X[:512], iter=3))
+    e.add_configure(X, nlist=16, iter=2)
+    e2 = Rii(fine_quantizer=e.fine_quantizer)
+    e2.add(X, update_posting_lists=False)  # never reconfigured: no threshold
+    s = ShardedRii(e2)
+    assert s.ivf is None
+    ids, _ = s.query_batch(X[:4], topk=3, method="auto")  # must not crash
+    assert ids.shape == (4, 3)
+
+
 def test_sharded_merge_matches_engine():
     rng = np.random.RandomState(37)
     X = rng.random((2000, 32)).astype(np.float32)
