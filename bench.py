@@ -63,7 +63,11 @@ def main():
     on_accel = backend != "cpu"
 
     N = int(os.environ.get("BENCH_N", 1_000_000 if on_accel else 100_000))
-    D, M, Ks = 128, 32, 256
+    # defaults = the SIFT1M-class config; BENCH_D=96 BENCH_M=12 gives the
+    # Deep1B-class config (BASELINE.md config 5)
+    D = int(os.environ.get("BENCH_D", 128))
+    M = int(os.environ.get("BENCH_M", 32))
+    Ks = 256
     nlist = 1000 if N >= 500_000 else max(16, int(np.sqrt(N)))
     Q = int(os.environ.get("BENCH_Q", 1024 if on_accel else 256))
     topk = 10

@@ -43,6 +43,15 @@ _RECONFIGURE_SAMPLE_SEED = 123  # mirrors src/rii.h:122 (same as rii.py)
 _PQKMEANS_SEED = 0
 
 
+def _sharded_to_host(arr):
+    """Fetch a mesh-sharded array to host numpy; under multi-host the shards
+    span non-addressable devices, so gather them across processes first."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+    return np.asarray(arr)
+
+
 def mesh_groups(ndev):
     """Reduction-group count for an ndev mesh (see module docstring)."""
     if ndev <= _CANON_GROUPS and _CANON_GROUPS % ndev == 0:
@@ -142,7 +151,7 @@ def fit_on_mesh(mesh, codewords, codes, k, iters=5, seed=_PQKMEANS_SEED,
                                     groups=g, axis_name=axis_name)
     centers, assigns = fit(codes_gb, weights_gb, centers0, cw)
     return (np.asarray(centers, dtype=np.uint8),
-            np.asarray(assigns).reshape(-1)[:n].astype(np.int32))
+            _sharded_to_host(assigns).reshape(-1)[:n].astype(np.int32))
 
 
 def predict_on_mesh(mesh, codewords, centers, codes, block=4096,
@@ -166,7 +175,7 @@ def predict_on_mesh(mesh, codewords, centers, codes, block=4096,
     centers_j = jnp.asarray(np.asarray(centers).astype(np.int32))
     fn = make_sharded_predict(mesh, axis_name=axis_name)
     assigns = fn(codes_blocks, weights_blocks, centers_j, cw)
-    return np.asarray(assigns).reshape(-1)[:n].astype(np.int32)
+    return _sharded_to_host(assigns).reshape(-1)[:n].astype(np.int32)
 
 
 def reconfigure_on_mesh(engine, mesh, nlist=None, iter=5,
