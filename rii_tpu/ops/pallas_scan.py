@@ -786,6 +786,46 @@ _IVF_TILE = 8  # slots per reported (min, argmin): finer than the full-scan
                # kernels' 128 because IVF candidates concentrate in few windows
 
 
+def _ivf_tile_top2(scores, win, cap_v, qn, min_ref, arg_ref, out_row=0):
+    """Shared IVF epilogue: (cap_v, Q) scores -> per-8-slot TOP-2 stores.
+
+    Packed-key formulation: the low 3 mantissa bits carry the in-tile row, so
+    the top-2 needs two plain min reduces with one mask between them (the
+    two-pass compare/where/min x2 costs ~1.4x more VPU passes). Keys are
+    UNIQUE within a tile (row bits differ), so masking `== k1` removes
+    exactly one element — score ties keep their duplicate, as before.
+    +inf scores (dup-window penalty / padding) are clamped for packing and
+    restored on unpack, so the callers' isfinite masking still works.
+    Precision: 2^-20 relative — callers exactly rescore anyway.
+    """
+    ntiles = cap_v // _IVF_TILE
+    st = jnp.minimum(scores, jnp.float32(_PACK_CLAMP)).reshape(
+        ntiles, _IVF_TILE, qn)
+    row = lax.broadcasted_iota(jnp.int32, (ntiles, _IVF_TILE, qn), 1)
+    bits = lax.bitcast_convert_type(st, jnp.int32)
+    keyf = lax.bitcast_convert_type((bits & jnp.int32(~0x7)) | row,
+                                    jnp.float32)
+    k1 = jnp.min(keyf, axis=1)  # (ntiles, Q)
+    masked = jnp.where(keyf == k1[:, None, :], jnp.inf, keyf)
+    k2 = jnp.min(masked, axis=1)
+
+    def unpack(k):
+        b = lax.bitcast_convert_type(k, jnp.int32)
+        lane = b & jnp.int32(0x7)
+        v = lax.bitcast_convert_type(b & jnp.int32(~0x7), jnp.float32)
+        v = jnp.where(v >= jnp.float32(_PACK_RESTORE), jnp.inf, v)
+        return v, lane
+
+    v1, l1 = unpack(k1)
+    v2, l2 = unpack(k2)
+    base = win * cap_v + lax.broadcasted_iota(
+        jnp.int32, (ntiles, qn), 0) * _IVF_TILE
+    min_ref[out_row:out_row + ntiles, :] = v1
+    min_ref[out_row + ntiles:out_row + 2 * ntiles, :] = v2
+    arg_ref[out_row:out_row + ntiles, :] = base + l1
+    arg_ref[out_row + ntiles:out_row + 2 * ntiles, :] = base + l2
+
+
 def _ivf_window_kernel(flat_ref, dup_ref, dec_ref, qt_ref,
                        min_ref, arg_ref, *, cap_v):
     """One grid step: ADC scores for one probed window -> per-8-slot TOP-2.
@@ -808,26 +848,7 @@ def _ivf_window_kernel(flat_ref, dup_ref, dec_ref, qt_ref,
     nrm = jnp.sum(decf * decf, axis=1, keepdims=True)  # (cap_v, 1)
     cross = jnp.dot(dec, qt_ref[...], preferred_element_type=jnp.float32)
     scores = nrm - 2.0 * cross + pen  # (cap_v, Q)
-
-    st = scores.reshape(ntiles, _IVF_TILE, qn)
-    row = lax.broadcasted_iota(jnp.int32, (ntiles, _IVF_TILE, qn), 1)
-    base = win * cap_v + lax.broadcasted_iota(
-        jnp.int32, (ntiles, qn), 0) * _IVF_TILE
-
-    vmin1 = jnp.min(st, axis=1)  # (ntiles, Q)
-    is1 = st == vmin1[:, None, :]
-    amin1 = jnp.min(jnp.where(is1, row, _IVF_TILE), axis=1)
-    # second best: mask ONE occurrence of the min (ties keep their duplicate)
-    st2 = jnp.where(is1 & (row == amin1[:, None, :]), jnp.inf, st)
-    vmin2 = jnp.min(st2, axis=1)
-    amin2 = jnp.min(jnp.where(st2 == vmin2[:, None, :], row, _IVF_TILE), axis=1)
-    amin1 = jnp.minimum(amin1, _IVF_TILE - 1)
-    amin2 = jnp.minimum(amin2, _IVF_TILE - 1)
-
-    min_ref[0:ntiles, :] = vmin1
-    min_ref[ntiles:2 * ntiles, :] = vmin2
-    arg_ref[0:ntiles, :] = base + amin1
-    arg_ref[ntiles:2 * ntiles, :] = base + amin2
+    _ivf_tile_top2(scores, win, cap_v, qn, min_ref, arg_ref)
 
 
 def _ivf_window_multi_kernel(flat_ref, dup_ref, dec_hbm, qt_ref,
@@ -870,25 +891,8 @@ def _ivf_window_multi_kernel(flat_ref, dup_ref, dec_hbm, qt_ref,
         nrm = jnp.sum(decf * decf, axis=1, keepdims=True)  # (cap_v, 1)
         cross = jnp.dot(dec, qt_ref[...], preferred_element_type=jnp.float32)
         scores = nrm - 2.0 * cross + pen  # (cap_v, Q)
-
-        st = scores.reshape(ntiles, _IVF_TILE, qn)
-        row = lax.broadcasted_iota(jnp.int32, (ntiles, _IVF_TILE, qn), 1)
-        base = win * cap_v + lax.broadcasted_iota(
-            jnp.int32, (ntiles, qn), 0) * _IVF_TILE
-        vmin1 = jnp.min(st, axis=1)
-        is1 = st == vmin1[:, None, :]
-        amin1 = jnp.min(jnp.where(is1, row, _IVF_TILE), axis=1)
-        st2 = jnp.where(is1 & (row == amin1[:, None, :]), jnp.inf, st)
-        vmin2 = jnp.min(st2, axis=1)
-        amin2 = jnp.min(jnp.where(st2 == vmin2[:, None, :], row, _IVF_TILE),
-                        axis=1)
-        amin1 = jnp.minimum(amin1, _IVF_TILE - 1)
-        amin2 = jnp.minimum(amin2, _IVF_TILE - 1)
-        r0 = j * 2 * ntiles
-        min_ref[r0:r0 + ntiles, :] = vmin1
-        min_ref[r0 + ntiles:r0 + 2 * ntiles, :] = vmin2
-        arg_ref[r0:r0 + ntiles, :] = base + amin1
-        arg_ref[r0 + ntiles:r0 + 2 * ntiles, :] = base + amin2
+        _ivf_tile_top2(scores, win, cap_v, qn, min_ref, arg_ref,
+                       out_row=j * 2 * ntiles)
 
 
 @partial(jax.jit, static_argnames=("cap_v", "wpb"))
@@ -1016,24 +1020,7 @@ def _ivf_pq_window_kernel(flat_ref, dup_ref, vlen_ref, codes_ref, qt_ref,
     row_id = lax.broadcasted_iota(jnp.int32, (cap_v, 1), 0)
     pad_pen = jnp.where(row_id < vl, 0.0, jnp.inf).astype(jnp.float32)
     scores = nrm - 2.0 * cross + pen + pad_pen  # (cap_v, Q)
-
-    st = scores.reshape(ntiles, _IVF_TILE, qn)
-    row = lax.broadcasted_iota(jnp.int32, (ntiles, _IVF_TILE, qn), 1)
-    base = win * cap_v + lax.broadcasted_iota(
-        jnp.int32, (ntiles, qn), 0) * _IVF_TILE
-    vmin1 = jnp.min(st, axis=1)
-    is1 = st == vmin1[:, None, :]
-    amin1 = jnp.min(jnp.where(is1, row, _IVF_TILE), axis=1)
-    st2 = jnp.where(is1 & (row == amin1[:, None, :]), jnp.inf, st)
-    vmin2 = jnp.min(st2, axis=1)
-    amin2 = jnp.min(jnp.where(st2 == vmin2[:, None, :], row, _IVF_TILE),
-                    axis=1)
-    amin1 = jnp.minimum(amin1, _IVF_TILE - 1)
-    amin2 = jnp.minimum(amin2, _IVF_TILE - 1)
-    min_ref[0:ntiles, :] = vmin1
-    min_ref[ntiles:2 * ntiles, :] = vmin2
-    arg_ref[0:ntiles, :] = base + amin1
-    arg_ref[ntiles:2 * ntiles, :] = base + amin2
+    _ivf_tile_top2(scores, win, cap_v, qn, min_ref, arg_ref)
 
 
 @partial(jax.jit, static_argnames=("cap_v", "interpret"))
