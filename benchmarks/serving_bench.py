@@ -47,7 +47,8 @@ def main():
     e.add_configure(X, nlist=nlist, iter=5)
     qpool = X[rng.choice(N, 4096, replace=False)]
 
-    # raw ceiling: one big batched dispatch, amortized
+    # raw ceiling: one big batched dispatch, amortized — same method as the
+    # client traffic below so rows and ceiling compare identical work
     big = np.ascontiguousarray(qpool[:1024])
     e.query_batch(big, topk=10, method="linear")
     t0 = time.perf_counter()
@@ -55,12 +56,19 @@ def main():
         e.query_batch(big, topk=10, method="linear")
     ceiling = 3 * 1024 / (time.perf_counter() - t0)
 
+    # warm every pow2 coalesced-batch bucket the levels can produce, so the
+    # timed loops measure dispatch, not compiles
+    b = 1
+    while b <= min(1024, max(levels)):
+        e.query_batch(np.ascontiguousarray(qpool[:b]), topk=10,
+                      method="linear")
+        b *= 2
+
     rows = []
     for k in levels:
         srv = QueryServer(e, max_batch=1024, max_wait_ms=2.0)
         srv.start()
-        # warm the compile caches for the bucket sizes this level will hit
-        srv.submit(qpool[0], topk=10).result(timeout=300)
+        srv.submit(qpool[0], topk=10, method="linear").result(timeout=300)
         reqs_per_client = max(1, total_reqs // k)
         lats = []
         lock = threading.Lock()
@@ -71,7 +79,7 @@ def main():
             for _ in range(reqs_per_client):
                 q = qpool[r.randint(len(qpool))]
                 t0 = time.perf_counter()
-                srv.submit(q, topk=10).result(timeout=300)
+                srv.submit(q, topk=10, method="linear").result(timeout=300)
                 local.append(time.perf_counter() - t0)
             with lock:
                 lats.extend(local)

@@ -841,7 +841,6 @@ def _ivf_window_kernel(flat_ref, dup_ref, dec_ref, qt_ref,
     qn = qt_ref.shape[1]
     win = flat_ref[u]
     pen = lax.select(dup_ref[u] != 0, jnp.float32(jnp.inf), jnp.float32(0.0))
-    ntiles = cap_v // _IVF_TILE
 
     dec = dec_ref[...]  # (cap_v, D) bf16
     decf = dec.astype(jnp.float32)
@@ -1003,7 +1002,6 @@ def _ivf_pq_window_kernel(flat_ref, dup_ref, vlen_ref, codes_ref, qt_ref,
     win = flat_ref[u]
     pen = lax.select(dup_ref[u] != 0, jnp.float32(jnp.inf), jnp.float32(0.0))
     vl = vlen_ref[u]
-    ntiles = cap_v // _IVF_TILE
 
     codes = codes_ref[...]  # (cap_v, M) uint8
     k_iota = lax.broadcasted_iota(jnp.int32, (cap_v, ks), 1)

@@ -70,10 +70,15 @@ def test_two_process_distributed_runtime(tmp_path):
         [sys.executable, str(worker), str(i), "2", port, repo],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         cwd=str(tmp_path)) for i in range(2)]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=540)
-        outs.append(out.decode(errors="replace"))
+    try:
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out.decode(errors="replace"))
+    finally:
+        for p in procs:  # never leak workers on timeout/failure
+            if p.poll() is None:
+                p.kill()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
         assert f"[p{i}] MULTIPROCESS OK" in out
