@@ -371,7 +371,7 @@ class Rii:
                 d, i = replica_i8_scan_topk_t(
                     qd, dc["decoded_i8_t"], dc["i8_scales"], dc["norms_rep"],
                     dc["codes_flat"], dc["codewords"], topk=topk,
-                    recall_target=rt)
+                    recall_target=rt, interpret=self._interp())
             elif "decoded_i8" in dc:
                 d, i = replica_i8_scan_topk(
                     qd, dc["decoded_i8"], dc["i8_scales"],
@@ -381,7 +381,8 @@ class Rii:
             elif "decoded_t" in dc:
                 d, i = replica_scan_topk_t(qd, dc["decoded_t"],
                                            dc["norms_rep"], topk=topk,
-                                           recall_target=rt)
+                                           recall_target=rt,
+                                           interpret=self._interp())
             elif use_pallas_replica:
                 d, i = replica_scan_topk(qd, decoded, dc["norms_flat"][:, None],
                                          topk=topk, blk=min(8192, dc["cap"]),
@@ -393,7 +394,8 @@ class Rii:
             elif "pallas_codes" in dc:
                 d, i = pq_scan_topk(qd, dc["pallas_codes"], dc["pallas_norms"],
                                     dc["pallas_cw"], topk=topk,
-                                    recall_target=rt)
+                                    recall_target=rt,
+                                    interpret=self._interp())
             else:
                 d, i = linear_scan_topk(qd, dc["codes_flat"], dc["norms_flat"],
                                         dc["codewords"], topk=topk,
@@ -411,7 +413,7 @@ class Rii:
                 d, i = replica_i8_scan_topk_t(
                     qd, dc["decoded_i8_t"], dc["i8_scales"], nr_m,
                     dc["codes_flat"], dc["codewords"], topk=topk,
-                    recall_target=rt)
+                    recall_target=rt, interpret=self._interp())
             elif "decoded_i8" in dc:
                 norms_col = np.asarray(dc["norms_flat"]).copy()
                 norms_col[~mask] = np.inf
@@ -428,7 +430,8 @@ class Rii:
                                                (8, dc["cap"]))
                 d, i = replica_scan_topk_t(qd, dc["decoded_t"],
                                            jnp.asarray(norms_rep_m),
-                                           topk=topk, recall_target=rt)
+                                           topk=topk, recall_target=rt,
+                                           interpret=self._interp())
             elif use_pallas_replica:
                 norms_col = np.asarray(dc["norms_flat"]).copy()
                 norms_col[~mask] = np.inf
@@ -447,7 +450,8 @@ class Rii:
                 norms_col[~mask, 0] = np.inf
                 d, i = pq_scan_topk(qd, dc["pallas_codes"],
                                     jnp.asarray(norms_col), dc["pallas_cw"],
-                                    topk=topk, recall_target=rt)
+                                    topk=topk, recall_target=rt,
+                                    interpret=self._interp())
             else:
                 d, i = linear_scan_topk(qd, dc["codes_flat"], dc["norms_flat"],
                                         dc["codewords"], topk=topk,
@@ -538,7 +542,8 @@ class Rii:
                     dc["centers_dec_v"], dc["centers_norms_v"], w=wv,
                     topk=topk, cap_u=dc["cap_v"], nlist_pad=dc["nlist_v_pad"],
                     target_mask=tm, recall_target=rt,
-                    use_pallas=use_pallas_ivf and u_est >= 2048)
+                    use_pallas=use_pallas_ivf and u_est >= 2048,
+                    interpret=self._interp())
             else:
                 # memory-lean: uint8 code windows, decoded in-flight (in VMEM
                 # via the fused kernel on hardware)
@@ -550,7 +555,8 @@ class Rii:
                     dc["centers_norms_v"], w=wv, topk=topk, cap_u=dc["cap_v"],
                     nlist_pad=dc["nlist_v_pad"], target_mask=tm,
                     recall_target=rt, vlen=dc.get("vlen_g"),
-                    cw_padded=dc.get("pallas_cw"), use_pallas=use_pq_pallas)
+                    cw_padded=dc.get("pallas_cw"), use_pallas=use_pq_pallas,
+                    interpret=self._interp())
         elif "decoded_flat" in dc:
             # fully query-batched probe over the bf16 replica
             d, i = ivf_scan_topk_decoded(
@@ -668,11 +674,20 @@ class Rii:
         Slightly approximate selection (one candidate per 128-slot tile), same
         accuracy class as topk_recall=0.99 — so it is disabled when the user
         asks for bit-exact selection (topk_recall=None).
+
+        `pallas_interpret=True` (a test hook) forces the full TPU kernel path
+        graph on CPU via Pallas interpret mode, so CI exercises the exact
+        code the accelerator runs.
         """
-        import jax
-        if jax.default_backend() == "cpu":
+        if getattr(self, "topk_recall", None) is None:
             return False
-        return getattr(self, "topk_recall", None) is not None
+        if getattr(self, "pallas_interpret", False):
+            return True
+        import jax
+        return jax.default_backend() != "cpu"
+
+    def _interp(self):
+        return bool(getattr(self, "pallas_interpret", False))
 
     def _consolidated_codes(self):
         if self._codes_cache is None:
