@@ -93,3 +93,47 @@ def test_add_without_update_then_reconfigure_includes_all(codec):
     # the late-added vector is now findable via ivf
     ids, _ = e.query(b[7], topk=5, L=e.N, method="ivf")
     assert 800 + 7 in ids.tolist()
+
+
+def test_sharded_random_lifecycle_matches_engine(codec):
+    """The same interleaving applied through ShardedRii (mesh mutations:
+    add / merge / distributed reconfigure) must track a single-chip engine
+    fed the identical operations."""
+    from rii_tpu.parallel import ShardedRii
+
+    pq, X0 = codec
+    rng = np.random.RandomState(17)
+    nlist = 24
+
+    b0 = rng.random((1200, D)).astype(np.float32)
+    e = Rii(pq)
+    e.add_configure(b0, nlist=nlist, iter=3)
+    s = ShardedRii(e)
+
+    shadow = Rii(pq)  # single-chip engine fed the same ops
+    shadow.add_configure(b0, nlist=nlist, iter=3)
+
+    for step in range(5):
+        op = rng.randint(0, 3)
+        if op == 0:  # add
+            b = rng.random((rng.randint(100, 400), D)).astype(np.float32)
+            s.add(b, update_posting_lists=True)
+            shadow.add(b, update_posting_lists=True)
+        elif op == 1:  # merge another engine
+            b = rng.random((rng.randint(50, 200), D)).astype(np.float32)
+            other = Rii(pq)
+            other.add(b, update_posting_lists=False)
+            s.merge(other)
+            shadow.merge(other)
+        else:  # distributed reconfigure vs single-chip reconfigure
+            s.reconfigure(nlist=nlist, iter=3)
+            shadow.reconfigure(nlist=nlist, iter=3)
+            # bit-identity contract on the 8-dev mesh
+            assert s.engine.posting_lists == shadow.posting_lists
+
+        assert s.engine.N == shadow.N
+        q = rng.random((4, D)).astype(np.float32)
+        ids_s, d_s = s.query_batch(q, topk=3)
+        ids_e, d_e = shadow.query_batch(q, topk=3, method="linear")
+        np.testing.assert_allclose(d_s, d_e, rtol=1e-3, atol=1e-3)
+        assert (ids_s == ids_e).mean() > 0.85  # ties only
