@@ -28,6 +28,10 @@ def put_sharded(mesh, arr, spec):
     sh = NamedSharding(mesh, spec)
     if jax.process_count() == 1:
         return jax.device_put(arr, sh)
+    # the local-slice computation below reads dim 0 of devices_indices_map
+    # only; a spec sharding any other dim would silently mis-place data
+    assert all(s is None for s in tuple(spec)[1:]), \
+        f"put_sharded supports dim-0-sharded or replicated specs only: {spec}"
     imap = sh.devices_indices_map(arr.shape)
     pid = jax.process_index()
     rows = [idx[0] for d, idx in imap.items() if d.process_index == pid]

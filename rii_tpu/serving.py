@@ -114,7 +114,11 @@ class QueryServer:
             except queue.Empty:
                 break
         for r in leftovers:
-            r.future.set_exception(RuntimeError("server stopped"))
+            if not r.future.done():  # drains can race (stop vs late submit)
+                try:
+                    r.future.set_exception(RuntimeError("server stopped"))
+                except Exception:
+                    pass  # resolved concurrently; nothing to do
 
     def __enter__(self):
         return self.start()
@@ -138,7 +142,13 @@ class QueryServer:
         with self._submit_lock:
             if self._stopped:
                 raise RuntimeError("server stopped")
-            self._q.put(req, timeout=self.submit_timeout_s)
+        # the blocking put happens OUTSIDE the lock so a backpressured
+        # producer cannot serialize other submitters (or deadlock stop())
+        self._q.put(req, timeout=self.submit_timeout_s)
+        if self._stopped:
+            # raced with stop(): its drain may already have run, so fail
+            # anything still queued (including possibly our own request)
+            self._drain_pending()
         return req.future
 
     def stats(self):

@@ -62,26 +62,34 @@ def query_ivf_oracle(q, topk, L, codewords, coarse_centers, posting_lists,
     w = min(nlist, int(round(float(L) * nlist / n_or_s)) + 3)
 
     cdists = adc_np(dt, coarse_centers)
-    probe_order = np.argsort(cdists, kind="stable")[:w]
+    # The reference partial_sorts only the first w entries; the tail is
+    # traversed too (src/rii.h:287) in partial_sort's UNSPECIFIED tail order.
+    # Fully sorting is a deterministic stand-in consistent with one valid
+    # reference execution.
+    probe_order = np.argsort(cdists, kind="stable")
 
     tset = None if target_ids is None else np.asarray(target_ids)
     cand = []
     done = False
-    for c in probe_order:
+    for coarse_cnt, c in enumerate(probe_order, start=1):
         for i in posting_lists[c]:
             if tset is not None:
                 pos = np.searchsorted(tset, i)
                 if pos >= len(tset) or tset[pos] != i:
                     continue
             cand.append(i)
-            if len(cand) == L:  # the reference's 'goto finish'
+            if len(cand) == L:  # the reference's 'goto finish' (src/rii.h:303)
                 done = True
                 break
-        if done:
+        # the >=topk check fires EXACTLY at coarse_cnt == w (src/rii.h:309);
+        # with fewer than topk found the walk continues past w until L
+        # candidates or list exhaustion
+        if done or (coarse_cnt == w and len(cand) >= topk):
+            done = True
             break
-    # (after w lists, the reference checks >= topk found; with fewer it
-    # returns what it has — possibly empty)
-    if len(cand) == 0:
+    if not done:
+        # exhaustion without either finish condition: the reference falls
+        # through to the empty return (src/rii.h:324-325)
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
     cand = np.asarray(cand, dtype=np.int64)
     dists = adc_np(dt, codes[cand]).astype(np.float64)
