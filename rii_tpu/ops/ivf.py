@@ -93,13 +93,15 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
         dup = jnp.concatenate(
             [jnp.zeros((1,), bool), flat[1:] == flat[:-1]])
 
-    if use_pallas and target_mask is None:
+    if use_pallas:
         # fused kernel: windows streamed in place (no gather copy); per-8-slot
         # top-2 + approx cross-tile merge + EXACT f32 rescore of the final
         # top-k (the kernel's norms are bf16-class, and the rescore's +inf
         # norms re-mask padding slots). On hardware, WPB windows per grid step
         # via manual async DMA; interpret mode (CPU tests) uses the
-        # single-window auto-pipelined variant (same math).
+        # single-window auto-pipelined variant (same math). A target_mask
+        # rides along as a per-slot 0/+inf penalty stream — subset search on
+        # the fast path (reference behavior: src/rii.h:291-295).
         from rii_tpu.ops.pallas_scan import (
             ivf_window_tile_minima,
             ivf_window_tile_minima_multi,
@@ -107,13 +109,17 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
 
         flat_i = flat.astype(jnp.int32)
         dup_i = dup.astype(jnp.int32)
+        pen_g = None
+        if target_mask is not None:
+            pen_g = jnp.where(target_mask, jnp.float32(0.0),
+                              jnp.float32(jnp.inf))[:, None]  # (total, 1)
         if interpret or d % 128 != 0:
             # the multi-window variant's MANUAL DMA slices need 128-aligned
             # lane dims (Mosaic tiling); odd D rides the auto-pipelined
             # single-window variant (same math, one window per grid step)
             vmin, amin = ivf_window_tile_minima(
                 q_all, decoded_g, flat_i, dup_i, cap_v=cap_u,
-                interpret=interpret)
+                interpret=interpret, pen=pen_g)
         else:
             # bound the per-step output block (wpb * 2*cap_v/8 * Q * 8B) to
             # ~4 MB so large windows / big batches stay inside VMEM
@@ -122,8 +128,15 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
             if upad:
                 flat_i = jnp.pad(flat_i, (0, upad), constant_values=0)
                 dup_i = jnp.pad(dup_i, (0, upad), constant_values=1)
+            pen_probe = None
+            if pen_g is not None:
+                # gather the penalty into probe order (manual DMAs cannot
+                # tile 1-lane slices; the pipelined mask block can)
+                pen_probe = jnp.take(pen_g.reshape(nlist_pad, cap_u),
+                                     flat_i, axis=0).reshape(-1, 1)
             vmin, amin = ivf_window_tile_minima_multi(
-                q_all, decoded_g, flat_i, dup_i, cap_v=cap_u, wpb=wpb)
+                q_all, decoded_g, flat_i, dup_i, cap_v=cap_u, wpb=wpb,
+                pen=pen_probe)
         k_eff = min(topk, vmin.shape[1])
         if recall_target is None:
             neg_sel, pos = lax.top_k(-vmin, k_eff)
@@ -250,17 +263,23 @@ def ivf_union_scan_topk_pq(queries, codes_g, norms_g, order_g, codewords,
     norms2 = norms_g.reshape(nlist_pad, cap_u)
     k_eff = min(topk, uc * cap_u)
 
-    if (use_pallas and target_mask is None and vlen is not None
-            and cw_padded is not None):
+    if use_pallas and vlen is not None and cw_padded is not None:
         # fused kernel: code windows decoded IN VMEM (no HBM one-hot), per-
         # 8-slot top-2 + approx merge + exact f32 rescore from the codes.
+        # A target_mask rides as the per-slot penalty stream (subset filter
+        # on the fast path; reference behavior src/rii.h:291-295).
         from rii_tpu.ops.pallas_scan import ivf_pq_window_tile_minima
 
         flat_i = flat.astype(jnp.int32)
         dup_i = dup.astype(jnp.int32)
+        pen_g = None
+        if target_mask is not None:
+            pen_g = jnp.where(target_mask, jnp.float32(0.0),
+                              jnp.float32(jnp.inf))[:, None]  # (total, 1)
         vmin, amin = ivf_pq_window_tile_minima(
             q_all, codes_g, cw_padded, flat_i, dup_i,
-            jnp.take(vlen, flat_i), cap_v=cap_u, interpret=interpret)
+            jnp.take(vlen, flat_i), cap_v=cap_u, interpret=interpret,
+            pen=pen_g)
         k_sel = min(topk, vmin.shape[1])
         if recall_target is None:
             neg_sel, pos = lax.top_k(-vmin, k_sel)

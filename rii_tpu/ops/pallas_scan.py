@@ -253,12 +253,20 @@ def _replica_t_kernel(decT_ref, nr_ref, q_ref, key_ref, *, blk, qn):
 
 def _nn_blk(cap, blk):
     """NN out-block constraint: (qn, blk/128) last dim must be 128-divisible
-    (blk % 16384 == 0) or equal to the whole array (blk == cap)."""
+    (blk % 16384 == 0) or equal to the whole array (blk == cap).
+
+    Honors the caller's blk when it satisfies the constraint and divides cap;
+    otherwise falls back to _TBLK (when it divides cap) or a single block
+    (small caps only — the (_QCHUNK, blk) f32 score transient must fit the
+    100 MB vmem budget, so single-block caps are limited to 1<<16)."""
+    if blk != _TBLK and blk % _TBLK == 0 and cap % blk == 0:
+        return blk
     if cap % _TBLK == 0:
         return _TBLK
-    assert cap <= 1 << 17, (
+    assert cap <= 1 << 16, (
         f"cap={cap}: transposed NN scan needs cap % {_TBLK} == 0 or a "
-        f"single-block-capable cap; pad capacity to a multiple of {_TBLK}")
+        f"single-block-capable cap <= {1 << 16}; pad capacity to a multiple "
+        f"of {_TBLK}")
     return cap
 
 
@@ -826,8 +834,7 @@ def _ivf_tile_top2(scores, win, cap_v, qn, min_ref, arg_ref, out_row=0):
     arg_ref[out_row + ntiles:out_row + 2 * ntiles, :] = base + l2
 
 
-def _ivf_window_kernel(flat_ref, dup_ref, dec_ref, qt_ref,
-                       min_ref, arg_ref, *, cap_v):
+def _ivf_window_kernel(flat_ref, dup_ref, *refs, cap_v, masked=False):
     """One grid step: ADC scores for one probed window -> per-8-slot TOP-2.
 
     dec_ref blocks are selected by the scalar-prefetched window id (see index
@@ -836,7 +843,17 @@ def _ivf_window_kernel(flat_ref, dup_ref, dec_ref, qt_ref,
     variant — callers exactly rescore the final top-k). Reporting two
     candidates per tile means a true top-k entry is lost only when THREE of
     them share one 8-slot tile — negligible at any k<=100.
+
+    masked=True adds a per-slot f32 penalty stream (0 = keep, +inf = excluded)
+    selected by the same window id — the subset (target_ids) filter riding the
+    fast path (the TPU re-design of the reference's per-id binary_search,
+    /root/reference/src/rii.h:291-295).
     """
+    if masked:
+        dec_ref, pen_ref, qt_ref, min_ref, arg_ref = refs
+    else:
+        dec_ref, qt_ref, min_ref, arg_ref = refs
+        pen_ref = None
     u = pl.program_id(0)
     qn = qt_ref.shape[1]
     win = flat_ref[u]
@@ -847,12 +864,13 @@ def _ivf_window_kernel(flat_ref, dup_ref, dec_ref, qt_ref,
     nrm = jnp.sum(decf * decf, axis=1, keepdims=True)  # (cap_v, 1)
     cross = jnp.dot(dec, qt_ref[...], preferred_element_type=jnp.float32)
     scores = nrm - 2.0 * cross + pen  # (cap_v, Q)
+    if pen_ref is not None:
+        scores = scores + pen_ref[...]  # (cap_v, 1) broadcast over Q
     _ivf_tile_top2(scores, win, cap_v, qn, min_ref, arg_ref)
 
 
-def _ivf_window_multi_kernel(flat_ref, dup_ref, dec_hbm, qt_ref,
-                             min_ref, arg_ref, dec_buf, sems,
-                             *, cap_v, wpb):
+def _ivf_window_multi_kernel(flat_ref, dup_ref, *refs, cap_v, wpb,
+                             masked=False):
     """Multi-window grid step: WPB probed windows per step, fetched with
     manual async DMAs from HBM.
 
@@ -866,7 +884,16 @@ def _ivf_window_multi_kernel(flat_ref, dup_ref, dec_hbm, qt_ref,
     exactly rescores the final top-k with the f32 norms. Padding rows carry a
     large sentinel value (models/ivf docstring) so their in-kernel norm
     dominates any real score.
+
+    masked=True adds an AUTO-PIPELINED per-slot penalty stream (wpb*cap_v, 1)
+    f32, pre-gathered into probe order by the caller (manual DMAs cannot tile
+    1-lane slices; pipelined blocks can) — the subset filter on the fast path.
     """
+    if masked:
+        dec_hbm, pen_ref, qt_ref, min_ref, arg_ref, dec_buf, sems = refs
+    else:
+        dec_hbm, qt_ref, min_ref, arg_ref, dec_buf, sems = refs
+        pen_ref = None
     g = pl.program_id(0)
     qn = qt_ref.shape[1]
     ntiles = cap_v // _IVF_TILE
@@ -890,17 +917,23 @@ def _ivf_window_multi_kernel(flat_ref, dup_ref, dec_hbm, qt_ref,
         nrm = jnp.sum(decf * decf, axis=1, keepdims=True)  # (cap_v, 1)
         cross = jnp.dot(dec, qt_ref[...], preferred_element_type=jnp.float32)
         scores = nrm - 2.0 * cross + pen  # (cap_v, Q)
+        if pen_ref is not None:
+            scores = scores + pen_ref[j * cap_v:(j + 1) * cap_v, :]
         _ivf_tile_top2(scores, win, cap_v, qn, min_ref, arg_ref,
                        out_row=j * 2 * ntiles)
 
 
 @partial(jax.jit, static_argnames=("cap_v", "wpb"))
 def ivf_window_tile_minima_multi(queries, decoded_g, flat, dup,
-                                 cap_v, wpb=16):
+                                 cap_v, wpb=16, pen=None):
     """TPU fast path: per-8-slot top-2 over probed windows, WPB windows per
     grid step via manual async DMA. flat/dup must be padded to a multiple of
     wpb (pad windows with dup=1). Norms are derived in kernel (bf16-class) —
-    callers must exactly rescore the returned candidates."""
+    callers must exactly rescore the returned candidates.
+
+    pen: optional (U*cap_v, 1) f32 penalty stream in PROBE order (slot j of
+    window flat[i] at row i*cap_v+j; 0 = keep, +inf = excluded) — the subset
+    filter (see _ivf_window_multi_kernel)."""
     total, d = decoded_g.shape
     qn = queries.shape[0]
     u = flat.shape[0]
@@ -908,13 +941,16 @@ def ivf_window_tile_minima_multi(queries, decoded_g, flat, dup,
     ntiles = cap_v // _IVF_TILE
     qt = queries.astype(jnp.bfloat16).T  # (D, Q)
 
+    masked = pen is not None
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # decoded_g stays in HBM
+    if masked:
+        in_specs.append(pl.BlockSpec((wpb * cap_v, 1),
+                                     lambda i, flat_, dup_: (i, 0)))
+    in_specs.append(pl.BlockSpec((d, qn), lambda i, flat_, dup_: (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(u // wpb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # decoded_g stays in HBM
-            pl.BlockSpec((d, qn), lambda i, flat_, dup_: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((wpb * 2 * ntiles, qn), lambda i, flat_, dup_: (i, 0)),
             pl.BlockSpec((wpb * 2 * ntiles, qn), lambda i, flat_, dup_: (i, 0)),
@@ -924,7 +960,9 @@ def ivf_window_tile_minima_multi(queries, decoded_g, flat, dup,
             pltpu.SemaphoreType.DMA((wpb,)),
         ],
     )
-    kernel = partial(_ivf_window_multi_kernel, cap_v=cap_v, wpb=wpb)
+    kernel = partial(_ivf_window_multi_kernel, cap_v=cap_v, wpb=wpb,
+                     masked=masked)
+    args = (flat, dup, decoded_g) + ((pen,) if masked else ()) + (qt,)
     vmin_t, amin_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -932,13 +970,13 @@ def ivf_window_tile_minima_multi(queries, decoded_g, flat, dup,
             jax.ShapeDtypeStruct((u * 2 * ntiles, qn), jnp.float32),
             jax.ShapeDtypeStruct((u * 2 * ntiles, qn), jnp.int32),
         ],
-    )(flat, dup, decoded_g, qt)
+    )(*args)
     return vmin_t.T, amin_t.T
 
 
 @partial(jax.jit, static_argnames=("cap_v", "interpret"))
 def ivf_window_tile_minima(queries, decoded_g, flat, dup, cap_v,
-                           interpret=False):
+                           interpret=False, pen=None):
     """Per-8-slot top-2 over the probed windows, read in place.
 
     Args:
@@ -949,6 +987,9 @@ def ivf_window_tile_minima(queries, decoded_g, flat, dup, cap_v,
         flat: (U,) int32 SORTED window ids (duplicates adjacent — the Pallas
             pipeline skips the DMA when the block index repeats).
         dup: (U,) int32, 1 marks duplicate entries to mask out.
+        pen: optional (total, 1) f32 per-slot penalty in GROUPED-slot order
+            (0 = keep, +inf = excluded) — the subset (target_ids) filter,
+            streamed per window by the same scalar-prefetched id.
 
     Returns (vmin (Q, U * 2*cap_v/8) f32 WITHOUT ||q||^2 at bf16-norm
     precision, amin (Q, U * 2*cap_v/8) int32 GLOBAL grouped-slot ids) —
@@ -961,19 +1002,23 @@ def ivf_window_tile_minima(queries, decoded_g, flat, dup, cap_v,
     assert cap_v % _IVF_TILE == 0 and total % cap_v == 0
     qt = queries.astype(jnp.bfloat16).T  # (D, Q)
 
+    masked = pen is not None
+    in_specs = [pl.BlockSpec((cap_v, d), lambda i, flat_, dup_: (flat_[i], 0))]
+    if masked:
+        in_specs.append(pl.BlockSpec((cap_v, 1),
+                                     lambda i, flat_, dup_: (flat_[i], 0)))
+    in_specs.append(pl.BlockSpec((d, qn), lambda i, flat_, dup_: (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(u,),
-        in_specs=[
-            pl.BlockSpec((cap_v, d), lambda i, flat_, dup_: (flat_[i], 0)),
-            pl.BlockSpec((d, qn), lambda i, flat_, dup_: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((2 * ntiles, qn), lambda i, flat_, dup_: (i, 0)),
             pl.BlockSpec((2 * ntiles, qn), lambda i, flat_, dup_: (i, 0)),
         ],
     )
-    kernel = partial(_ivf_window_kernel, cap_v=cap_v)
+    kernel = partial(_ivf_window_kernel, cap_v=cap_v, masked=masked)
+    args = (flat, dup, decoded_g) + ((pen,) if masked else ()) + (qt,)
     vmin_t, amin_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -982,20 +1027,26 @@ def ivf_window_tile_minima(queries, decoded_g, flat, dup, cap_v,
             jax.ShapeDtypeStruct((u * 2 * ntiles, qn), jnp.int32),
         ],
         interpret=interpret,
-    )(flat, dup, decoded_g, qt)
+    )(*args)
     return vmin_t.T, amin_t.T
 
 
-def _ivf_pq_window_kernel(flat_ref, dup_ref, vlen_ref, codes_ref, qt_ref,
-                          cw_ref, min_ref, arg_ref, *, ks, cap_v):
+def _ivf_pq_window_kernel(flat_ref, dup_ref, vlen_ref, *refs, ks, cap_v,
+                          masked=False):
     """pq-mode window step: one-hot decode the window's uint8 codes IN VMEM
     (the XLA lowering materializes the one-hot in HBM — ~34 KB of traffic per
     candidate; here it never leaves the chip), score, per-8-slot top-2.
 
     Padding is masked by row index >= the scalar-prefetched member count
     (vlen), so no norms stream is needed; the caller exactly rescores the
-    final top-k from the codes.
+    final top-k from the codes. masked=True adds the per-slot penalty stream
+    (see _ivf_window_kernel) — the subset filter on the fast path.
     """
+    if masked:
+        codes_ref, pen_ref, qt_ref, cw_ref, min_ref, arg_ref = refs
+    else:
+        codes_ref, qt_ref, cw_ref, min_ref, arg_ref = refs
+        pen_ref = None
     u = pl.program_id(0)
     qn = qt_ref.shape[1]
     m = cw_ref.shape[0]
@@ -1018,15 +1069,18 @@ def _ivf_pq_window_kernel(flat_ref, dup_ref, vlen_ref, codes_ref, qt_ref,
     row_id = lax.broadcasted_iota(jnp.int32, (cap_v, 1), 0)
     pad_pen = jnp.where(row_id < vl, 0.0, jnp.inf).astype(jnp.float32)
     scores = nrm - 2.0 * cross + pen + pad_pen  # (cap_v, Q)
+    if pen_ref is not None:
+        scores = scores + pen_ref[...]  # (cap_v, 1) broadcast over Q
     _ivf_tile_top2(scores, win, cap_v, qn, min_ref, arg_ref)
 
 
 @partial(jax.jit, static_argnames=("cap_v", "interpret"))
 def ivf_pq_window_tile_minima(queries, codes_g, cw_padded, flat, dup, vlen,
-                              cap_v, interpret=False):
+                              cap_v, interpret=False, pen=None):
     """Memory-lean IVF window scan: per-8-slot top-2 over probed uint8 code
     windows, decoded in VMEM. Same output contract as ivf_window_tile_minima
     (callers exactly rescore). cw_padded from :func:`build_padded_codewords`.
+    pen: optional (total, 1) f32 grouped-slot subset penalty (0/+inf).
     """
     total, m = codes_g.shape
     ks = cw_padded.shape[1]
@@ -1037,20 +1091,27 @@ def ivf_pq_window_tile_minima(queries, codes_g, cw_padded, flat, dup, vlen,
     assert cap_v % _IVF_TILE == 0 and total % cap_v == 0
     qt = queries.astype(jnp.bfloat16).T  # (D, Q)
 
+    masked = pen is not None
+    in_specs = [pl.BlockSpec((cap_v, m), lambda i, f_, d_, v_: (f_[i], 0))]
+    if masked:
+        in_specs.append(pl.BlockSpec((cap_v, 1),
+                                     lambda i, f_, d_, v_: (f_[i], 0)))
+    in_specs += [
+        pl.BlockSpec((d, qn), lambda i, f_, d_, v_: (0, 0)),
+        pl.BlockSpec((m, ks, d), lambda i, f_, d_, v_: (0, 0, 0)),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(u,),
-        in_specs=[
-            pl.BlockSpec((cap_v, m), lambda i, f_, d_, v_: (f_[i], 0)),
-            pl.BlockSpec((d, qn), lambda i, f_, d_, v_: (0, 0)),
-            pl.BlockSpec((m, ks, d), lambda i, f_, d_, v_: (0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((2 * ntiles, qn), lambda i, f_, d_, v_: (i, 0)),
             pl.BlockSpec((2 * ntiles, qn), lambda i, f_, d_, v_: (i, 0)),
         ],
     )
-    kernel = partial(_ivf_pq_window_kernel, ks=ks, cap_v=cap_v)
+    kernel = partial(_ivf_pq_window_kernel, ks=ks, cap_v=cap_v, masked=masked)
+    args = (flat, dup, vlen, codes_g) + ((pen,) if masked else ()) + (
+        qt, cw_padded)
     vmin_t, amin_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1059,7 +1120,7 @@ def ivf_pq_window_tile_minima(queries, codes_g, cw_padded, flat, dup, vlen,
             jax.ShapeDtypeStruct((u * 2 * ntiles, qn), jnp.int32),
         ],
         interpret=interpret,
-    )(flat, dup, vlen, codes_g, qt, cw_padded)
+    )(*args)
     return vmin_t.T, amin_t.T
 
 

@@ -324,9 +324,9 @@ class ShardedRii:
         mode = iv["mode"]
         has_tids = s_pad is not None
 
-        # the fused window kernels need accelerator Mosaic lowering and no
-        # subset mask; otherwise the XLA union scan runs
-        use_pallas = self._use_pallas() and not has_tids
+        # the fused window kernels need accelerator Mosaic lowering; subset
+        # masks ride them as the per-slot penalty stream (ops/pallas_scan.py)
+        use_pallas = self._use_pallas()
 
         def _local(queries, store_l, norms_l, order_l, cdec_l, cnorm_l,
                    vlen_l, cwp, codewords, tids, nt):

@@ -490,10 +490,10 @@ class Rii:
 
     def _query_ivf_batch(self, queries, topk, tids, L, force_full=False):
         dc = self._ensure_cache()
-        # the fused window kernel paths handle the no-subset case; subset
-        # masks ride the XLA union path (masking needs the f32 norms stream)
+        # the fused window kernels handle subsets too: the target mask rides
+        # as a per-slot 0/+inf penalty stream (ops/pallas_scan.py)
         use_pallas_ivf = (("decoded_g" in dc or "codes_g" in dc)
-                          and tids is None and self._use_pallas_scan())
+                          and self._use_pallas_scan())
         qp, qn = _pad_queries(queries, lo=8 if use_pallas_ivf else 1)
         qd = jnp.asarray(qp)
         s = None if tids is None else len(tids)
@@ -547,7 +547,7 @@ class Rii:
             else:
                 # memory-lean: uint8 code windows, decoded in-flight (in VMEM
                 # via the fused kernel on hardware)
-                use_pq_pallas = (tids is None and self._use_pallas_scan()
+                use_pq_pallas = (self._use_pallas_scan()
                                  and "pallas_cw" in dc)
                 d, i = ivf_union_scan_topk_pq(
                     qd, dc["codes_g"], dc["norms_g"], dc["order_g"],

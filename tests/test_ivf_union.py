@@ -210,3 +210,80 @@ def test_pq_union_op_bf16_selection_exact_rescore():
                              np.asarray(d_b)[q].tolist()):
             if id_ in ax and id_ >= 0:
                 np.testing.assert_allclose(dist, ax[id_], rtol=1e-5)
+
+
+def test_pallas_window_kernel_subset_mask_interpret(engine):
+    """Subset search on the fused window kernel (the round-3 fast path): the
+    per-slot 0/+inf penalty stream must reproduce the XLA union path's masked
+    results and return only subset members."""
+    import jax.numpy as jnp
+    from rii_tpu.ops.ivf import ivf_union_scan_topk
+
+    e, X = engine
+    dc = e._ensure_cache()
+    rng = np.random.RandomState(13)
+    tids = np.sort(rng.choice(e.N, 700, replace=False)).astype(np.int64)
+    mask = np.zeros(dc["cap"], dtype=bool)
+    mask[tids] = True
+    tm = jnp.take(jnp.asarray(mask), jnp.clip(dc["order_g"], 0, dc["cap"] - 1))
+    qs = np.ascontiguousarray(X[rng.choice(e.N, 8, replace=False)])
+    qd = jnp.asarray(qs)
+    wv = e._probe_width_virtual(e.N, len(tids), dc)
+    wv = min(wv, dc["nlist_v"] - 1)  # keep the union partial (kernel path)
+    args = (qd, dc["decoded_g"], dc["norms_g"], dc["order_g"],
+            dc["centers_dec_v"], dc["centers_norms_v"])
+    kw = dict(w=wv, topk=10, cap_u=dc["cap_v"], nlist_pad=dc["nlist_v_pad"],
+              target_mask=tm, recall_target=None)
+    d_x, i_x = ivf_union_scan_topk(*args, **kw)
+    d_p, i_p = ivf_union_scan_topk(*args, **kw, use_pallas=True,
+                                   interpret=True)
+    ix, ip = np.asarray(i_x), np.asarray(i_p)
+    tset = set(tids.tolist())
+    for row in ip:
+        assert set(row[row >= 0].tolist()) <= tset
+    assert (ix[:, 0] == ip[:, 0]).all()
+    rec = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                   for a, b in zip(ix, ip)])
+    assert rec >= 0.9
+    np.testing.assert_allclose(np.asarray(d_p)[:, 0], np.asarray(d_x)[:, 0],
+                               rtol=2e-2)
+
+
+def test_pq_window_kernel_subset_mask_interpret():
+    """pq-mode fused window kernel with the subset penalty stream (interpret):
+    must agree with the masked XLA pq union path."""
+    import jax.numpy as jnp
+    from rii_tpu.ops.ivf import ivf_union_scan_topk_pq
+
+    rng = np.random.RandomState(31)
+    N, D = 3000, 32
+    X = rng.random((N, D)).astype(np.float32)
+    pq = PQ(M=4, Ks=32, verbose=False).fit(X[:1000], iter=3)
+    e = Rii(pq)
+    e.scan_mode = "pq"
+    e.pallas_interpret = True
+    e.add_configure(X, nlist=50, iter=3)
+    dc = e._ensure_cache()
+    assert "codes_g" in dc and "pallas_cw" in dc
+
+    tids = np.sort(rng.choice(N, 600, replace=False)).astype(np.int64)
+    mask = np.zeros(dc["cap"], dtype=bool)
+    mask[tids] = True
+    tm = jnp.take(jnp.asarray(mask), jnp.clip(dc["order_g"], 0, dc["cap"] - 1))
+    qd = jnp.asarray(np.ascontiguousarray(X[rng.choice(N, 8, replace=False)]))
+    args = (qd, dc["codes_g"], dc["norms_g"], dc["order_g"], dc["codewords"],
+            dc["centers_dec_v"], dc["centers_norms_v"])
+    kw = dict(w=8, topk=10, cap_u=dc["cap_v"], nlist_pad=dc["nlist_v_pad"],
+              target_mask=tm, recall_target=None,
+              vlen=dc["vlen_g"], cw_padded=dc["pallas_cw"])
+    d_x, i_x = ivf_union_scan_topk_pq(*args, **kw)
+    d_p, i_p = ivf_union_scan_topk_pq(*args, **kw, use_pallas=True,
+                                      interpret=True)
+    ix, ip = np.asarray(i_x), np.asarray(i_p)
+    tset = set(tids.tolist())
+    for row in ip:
+        assert set(row[row >= 0].tolist()) <= tset
+    assert (ix[:, 0] == ip[:, 0]).all()
+    rec = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                   for a, b in zip(ix, ip)])
+    assert rec >= 0.9
