@@ -268,7 +268,12 @@ def ivf_union_scan_topk_pq(queries, codes_g, norms_g, order_g, codewords,
         # 8-slot top-2 + approx merge + exact f32 rescore from the codes.
         # A target_mask rides as the per-slot penalty stream (subset filter
         # on the fast path; reference behavior src/rii.h:291-295).
-        from rii_tpu.ops.pallas_scan import ivf_pq_window_tile_minima
+        # Small Q (< D) uses the DTABLE formulation — M*cap_v*Ks*Q MACs per
+        # window instead of decode's M*cap_v*Ks*D, a ~D/Q FLOP cut.
+        from rii_tpu.ops.pallas_scan import (
+            ivf_dt_window_tile_minima,
+            ivf_pq_window_tile_minima,
+        )
 
         flat_i = flat.astype(jnp.int32)
         dup_i = dup.astype(jnp.int32)
@@ -276,10 +281,17 @@ def ivf_union_scan_topk_pq(queries, codes_g, norms_g, order_g, codewords,
         if target_mask is not None:
             pen_g = jnp.where(target_mask, jnp.float32(0.0),
                               jnp.float32(jnp.inf))[:, None]  # (total, 1)
-        vmin, amin = ivf_pq_window_tile_minima(
-            q_all, codes_g, cw_padded, flat_i, dup_i,
-            jnp.take(vlen, flat_i), cap_v=cap_u, interpret=interpret,
-            pen=pen_g)
+        d_dim = codewords.shape[0] * codewords.shape[2]
+        if qn < d_dim:
+            vmin, amin = ivf_dt_window_tile_minima(
+                q_all, codes_g, codewords, flat_i, dup_i,
+                jnp.take(vlen, flat_i), cap_v=cap_u, interpret=interpret,
+                pen=pen_g)
+        else:
+            vmin, amin = ivf_pq_window_tile_minima(
+                q_all, codes_g, cw_padded, flat_i, dup_i,
+                jnp.take(vlen, flat_i), cap_v=cap_u, interpret=interpret,
+                pen=pen_g)
         k_sel = min(topk, vmin.shape[1])
         if recall_target is None:
             neg_sel, pos = lax.top_k(-vmin, k_sel)
@@ -366,6 +378,104 @@ def ivf_union_scan_topk_pq(queries, codes_g, norms_g, order_g, codewords,
             [dists, jnp.full((qn, topk - kk), jnp.inf)], axis=1)
         ids = jnp.concatenate(
             [ids, jnp.full((qn, topk - kk), -1, ids.dtype)], axis=1)
+    ids = jnp.where(jnp.isfinite(dists), ids, -1)
+    return dists, ids
+
+
+@partial(jax.jit, static_argnames=("w", "topk", "cap_u", "nlist_pad",
+                                   "recall_target", "interpret"))
+def ivf_union_scan_topk_i8(queries, decoded_g_i8, col_scales, norms_g,
+                           order_g, codes, codewords, centers_dec,
+                           centers_norms, w, topk, cap_u, nlist_pad,
+                           target_mask=None, recall_target=None,
+                           interpret=False):
+    """Union-bucket IVF over int8 virtual-bucket windows — the middle memory
+    tier (cap*D bytes vs bf16's 2x, ~M/D of the pq windows' compute).
+
+    Same probe/union scaffold as :func:`ivf_union_scan_topk`; selection runs
+    the fused int8 window kernels (half the bf16 DMA traffic, int8 MXU), and
+    the final top-k is exactly rescored from the uint8 codes (original-order
+    `codes`, rows addressed via order_g), so returned distances are the usual
+    exact-ADC f32 class. Always fused (this mode is only selected on
+    accelerators; interpret=True covers CPU tests).
+    """
+    from rii_tpu.ops.pallas_scan import (
+        ivf_i8_window_tile_minima,
+        ivf_i8_window_tile_minima_multi,
+    )
+
+    q_all = queries.astype(jnp.float32)
+    qn = q_all.shape[0]
+    d = q_all.shape[1]
+    q16 = q_all.astype(jnp.bfloat16)
+
+    if target_mask is not None:
+        norms_g = jnp.where(target_mask, norms_g, jnp.inf)
+
+    cscores = centers_norms[None, :] - 2.0 * jnp.dot(
+        q16, centers_dec.T.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32)
+    _, probe = lax.top_k(-cscores, w)  # (Q, w)
+
+    if qn * w >= nlist_pad:
+        flat = jnp.arange(nlist_pad, dtype=jnp.int32)
+        dup = jnp.zeros((nlist_pad,), dtype=jnp.int32)
+    else:
+        flat = jnp.sort(probe.astype(jnp.int32).reshape(-1))
+        dup = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             (flat[1:] == flat[:-1]).astype(jnp.int32)])
+
+    # int8 has no +inf sentinel, so padding AND subset exclusion both ride
+    # the penalty stream, derived from the (already subset-masked) norms
+    pen_g = jnp.where(jnp.isfinite(norms_g), jnp.float32(0.0),
+                      jnp.float32(jnp.inf))[:, None]  # (total, 1)
+
+    if interpret or d % 128 != 0:
+        vmin, amin = ivf_i8_window_tile_minima(
+            q_all, decoded_g_i8, col_scales, flat, dup, cap_v=cap_u,
+            interpret=interpret, pen=pen_g)
+    else:
+        wpb = max(1, min(32, (1 << 22) // max(1, (cap_u // 4) * qn * 8)))
+        upad = -(-flat.shape[0] // wpb) * wpb - flat.shape[0]
+        if upad:
+            flat = jnp.pad(flat, (0, upad), constant_values=0)
+            dup = jnp.pad(dup, (0, upad), constant_values=1)
+        pen_probe = jnp.take(pen_g.reshape(nlist_pad, cap_u),
+                             flat, axis=0).reshape(-1, 1)
+        vmin, amin = ivf_i8_window_tile_minima_multi(
+            q_all, decoded_g_i8, col_scales, flat, dup, cap_v=cap_u,
+            wpb=wpb, pen=pen_probe)
+
+    # int8 selection reorders near-boundary candidates: overfetch 2x before
+    # the exact rescore (same policy as replica_i8_scan_topk's overfetch)
+    k_sel = min(max(2 * topk, topk + 8), vmin.shape[1])
+    if recall_target is None:
+        neg_sel, pos = lax.top_k(-vmin, k_sel)
+    else:
+        neg_sel, pos = lax.approx_max_k(-vmin, k_sel,
+                                        recall_target=recall_target)
+    slot_top = jnp.take_along_axis(amin, pos, axis=1)  # (Q, k_sel)
+    safe = jnp.maximum(slot_top, 0)
+    ids_orig = jnp.take(order_g, safe)  # (Q, k_sel) original ids (-1 pad)
+    cand = jnp.take(codes, jnp.maximum(ids_orig, 0).reshape(-1), axis=0)
+    dec = onehot_decode(cand, codewords, dtype=jnp.float32,
+                        precision=_PREC).reshape(qn, k_sel, -1)
+    qsq = jnp.sum(q_all * q_all, axis=-1)
+    cross = jnp.einsum("qkd,qd->qk", dec, q_all, precision=_PREC)
+    nrm_c = jnp.take(norms_g, safe)  # +inf re-masks padding/excluded slots
+    exact = nrm_c - 2.0 * cross + qsq[:, None]
+    exact = jnp.where(jnp.isfinite(neg_sel), exact, jnp.inf)
+    k_sel = min(topk, k_sel)
+    neg, pos2 = lax.top_k(-exact, k_sel)
+    slot_top = jnp.take_along_axis(slot_top, pos2, axis=1)
+    ids = jnp.take(order_g, slot_top)
+    dists = -neg
+    if k_sel < topk:
+        dists = jnp.concatenate(
+            [dists, jnp.full((qn, topk - k_sel), jnp.inf)], axis=1)
+        ids = jnp.concatenate(
+            [ids, jnp.full((qn, topk - k_sel), -1, ids.dtype)], axis=1)
     ids = jnp.where(jnp.isfinite(dists), ids, -1)
     return dists, ids
 

@@ -1124,6 +1124,284 @@ def ivf_pq_window_tile_minima(queries, codes_g, cw_padded, flat, dup, vlen,
     return vmin_t.T, amin_t.T
 
 
+def _ivf_i8_window_kernel(flat_ref, dup_ref, *refs, cap_v, masked=False):
+    """int8-window grid step: like _ivf_window_kernel but the grouped replica
+    is per-column-quantized int8 — HALF the bf16 window traffic. The column
+    scales are folded into the queries (quantized per query, alpha restores
+    the cross term); norms are derived in kernel from the dequantized rows
+    (int8-class selection — callers exactly rescore from the uint8 codes).
+    Padding rows carry the int8 sentinel 127 whose dequantized norm dominates.
+    """
+    if masked:
+        dec_ref, pen_ref, scl_ref, q_ref, alpha_ref, min_ref, arg_ref = refs
+    else:
+        dec_ref, scl_ref, q_ref, alpha_ref, min_ref, arg_ref = refs
+        pen_ref = None
+    u = pl.program_id(0)
+    qn = q_ref.shape[1]
+    win = flat_ref[u]
+    pen = lax.select(dup_ref[u] != 0, jnp.float32(jnp.inf), jnp.float32(0.0))
+
+    dec = dec_ref[...]  # (cap_v, D) int8
+    decf = dec.astype(jnp.float32) * scl_ref[...]  # (cap_v, D) dequantized
+    nrm = jnp.sum(decf * decf, axis=1, keepdims=True)  # (cap_v, 1)
+    cross = jnp.dot(dec, q_ref[...], preferred_element_type=jnp.int32)
+    scores = nrm - 2.0 * cross.astype(jnp.float32) * alpha_ref[...] + pen
+    if pen_ref is not None:
+        scores = scores + pen_ref[...]
+    _ivf_tile_top2(scores, win, cap_v, qn, min_ref, arg_ref)
+
+
+def _ivf_i8_window_multi_kernel(flat_ref, dup_ref, *refs, cap_v, wpb,
+                                masked=False):
+    """Multi-window int8 variant: WPB windows per grid step via manual async
+    DMA (half the bf16 fetch bytes). See _ivf_window_multi_kernel for the
+    DMA scheme and _ivf_i8_window_kernel for the int8 math."""
+    if masked:
+        (dec_hbm, pen_ref, scl_ref, q_ref, alpha_ref, min_ref, arg_ref,
+         dec_buf, sems) = refs
+    else:
+        (dec_hbm, scl_ref, q_ref, alpha_ref, min_ref, arg_ref,
+         dec_buf, sems) = refs
+        pen_ref = None
+    g = pl.program_id(0)
+    qn = q_ref.shape[1]
+    ntiles = cap_v // _IVF_TILE
+
+    def dec_copy(j):
+        win = flat_ref[g * wpb + j]
+        return pltpu.make_async_copy(
+            dec_hbm.at[pl.ds(win * cap_v, cap_v), :], dec_buf.at[j],
+            sems.at[j])
+
+    for j in range(wpb):  # static unroll: issue all fetches up front
+        dec_copy(j).start()
+
+    for j in range(wpb):  # static unroll: wait + score in arrival order
+        dec_copy(j).wait()
+        win = flat_ref[g * wpb + j]
+        pen = lax.select(dup_ref[g * wpb + j] != 0,
+                         jnp.float32(jnp.inf), jnp.float32(0.0))
+        dec = dec_buf[j]  # (cap_v, D) int8
+        decf = dec.astype(jnp.float32) * scl_ref[...]
+        nrm = jnp.sum(decf * decf, axis=1, keepdims=True)
+        cross = jnp.dot(dec, q_ref[...], preferred_element_type=jnp.int32)
+        scores = (nrm - 2.0 * cross.astype(jnp.float32) * alpha_ref[...]
+                  + pen)
+        if pen_ref is not None:
+            scores = scores + pen_ref[j * cap_v:(j + 1) * cap_v, :]
+        _ivf_tile_top2(scores, win, cap_v, qn, min_ref, arg_ref,
+                       out_row=j * 2 * ntiles)
+
+
+@partial(jax.jit, static_argnames=("cap_v", "interpret"))
+def ivf_i8_window_tile_minima(queries, decoded_g_i8, col_scales, flat, dup,
+                              cap_v, interpret=False, pen=None):
+    """Single-window int8 scan (auto-pipelined; the interpret/test path).
+    Same output contract as ivf_window_tile_minima (int8-class selection —
+    callers must exactly rescore)."""
+    total, d = decoded_g_i8.shape
+    qn = queries.shape[0]
+    u = flat.shape[0]
+    ntiles = cap_v // _IVF_TILE
+    assert cap_v % _IVF_TILE == 0 and total % cap_v == 0
+    q_i8, qscale = _quantize_queries_i8(queries, col_scales)
+    qt = q_i8.T  # (D, Q)
+    alpha = qscale[None, :]  # (1, Q)
+    scales_row = col_scales[None, :].astype(jnp.float32)  # (1, D)
+
+    masked = pen is not None
+    in_specs = [pl.BlockSpec((cap_v, d), lambda i, flat_, dup_: (flat_[i], 0))]
+    if masked:
+        in_specs.append(pl.BlockSpec((cap_v, 1),
+                                     lambda i, flat_, dup_: (flat_[i], 0)))
+    in_specs += [
+        pl.BlockSpec((1, d), lambda i, flat_, dup_: (0, 0)),
+        pl.BlockSpec((d, qn), lambda i, flat_, dup_: (0, 0)),
+        pl.BlockSpec((1, qn), lambda i, flat_, dup_: (0, 0)),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(u,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((2 * ntiles, qn), lambda i, flat_, dup_: (i, 0)),
+            pl.BlockSpec((2 * ntiles, qn), lambda i, flat_, dup_: (i, 0)),
+        ],
+    )
+    kernel = partial(_ivf_i8_window_kernel, cap_v=cap_v, masked=masked)
+    args = (flat, dup, decoded_g_i8) + ((pen,) if masked else ()) + (
+        scales_row, qt, alpha)
+    vmin_t, amin_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((u * 2 * ntiles, qn), jnp.float32),
+            jax.ShapeDtypeStruct((u * 2 * ntiles, qn), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return vmin_t.T, amin_t.T
+
+
+@partial(jax.jit, static_argnames=("cap_v", "wpb"))
+def ivf_i8_window_tile_minima_multi(queries, decoded_g_i8, col_scales, flat,
+                                    dup, cap_v, wpb=16, pen=None):
+    """Hardware int8-window fast path: WPB windows per grid step via manual
+    async DMA at HALF the bf16 fetch traffic. flat/dup padded to wpb multiple
+    (pad with dup=1); pen optional (U*cap_v, 1) probe-order subset penalty."""
+    total, d = decoded_g_i8.shape
+    qn = queries.shape[0]
+    u = flat.shape[0]
+    assert u % wpb == 0, (u, wpb)
+    ntiles = cap_v // _IVF_TILE
+    q_i8, qscale = _quantize_queries_i8(queries, col_scales)
+    qt = q_i8.T  # (D, Q)
+    alpha = qscale[None, :]  # (1, Q)
+    scales_row = col_scales[None, :].astype(jnp.float32)  # (1, D)
+
+    masked = pen is not None
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # int8 windows in HBM
+    if masked:
+        in_specs.append(pl.BlockSpec((wpb * cap_v, 1),
+                                     lambda i, flat_, dup_: (i, 0)))
+    in_specs += [
+        pl.BlockSpec((1, d), lambda i, flat_, dup_: (0, 0)),
+        pl.BlockSpec((d, qn), lambda i, flat_, dup_: (0, 0)),
+        pl.BlockSpec((1, qn), lambda i, flat_, dup_: (0, 0)),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(u // wpb,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((wpb * 2 * ntiles, qn), lambda i, flat_, dup_: (i, 0)),
+            pl.BlockSpec((wpb * 2 * ntiles, qn), lambda i, flat_, dup_: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((wpb, cap_v, d), jnp.int8),
+            pltpu.SemaphoreType.DMA((wpb,)),
+        ],
+    )
+    kernel = partial(_ivf_i8_window_multi_kernel, cap_v=cap_v, wpb=wpb,
+                     masked=masked)
+    args = (flat, dup, decoded_g_i8) + ((pen,) if masked else ()) + (
+        scales_row, qt, alpha)
+    vmin_t, amin_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((u * 2 * ntiles, qn), jnp.float32),
+            jax.ShapeDtypeStruct((u * 2 * ntiles, qn), jnp.int32),
+        ],
+    )(*args)
+    return vmin_t.T, amin_t.T
+
+
+def _ivf_dt_window_kernel(flat_ref, dup_ref, vlen_ref, *refs, ks, cap_v,
+                          masked=False):
+    """pq-mode window step, DTABLE formulation (the small-Q fast path).
+
+    Scores are accumulated directly as sum_m onehot_m @ dtable_m where
+    dtable[m, k, :] = ||q_m - codeword_{m,k}||^2 — the in-VMEM re-expression
+    of the reference's ADC table walk (/root/reference/src/rii.h:361-394)
+    as MXU matmuls. Per window this costs M*cap_v*Ks*Q MACs vs the decode
+    kernel's M*cap_v*Ks*D + cap_v*D*Q: a ~D/Q-fold FLOP cut when Q < D.
+    The produced scores are FULL squared distances (the dtable carries the
+    ||q_m||^2 terms); per-query constants don't affect per-query selection,
+    and callers exactly rescore the final top-k from the codes as before.
+    """
+    if masked:
+        codes_ref, pen_ref, dt_ref, min_ref, arg_ref = refs
+    else:
+        codes_ref, dt_ref, min_ref, arg_ref = refs
+        pen_ref = None
+    u = pl.program_id(0)
+    qn = dt_ref.shape[2]
+    m = dt_ref.shape[0]
+    win = flat_ref[u]
+    pen = lax.select(dup_ref[u] != 0, jnp.float32(jnp.inf), jnp.float32(0.0))
+    vl = vlen_ref[u]
+
+    codes = codes_ref[...]  # (cap_v, M) uint8
+    k_iota = lax.broadcasted_iota(jnp.int32, (cap_v, ks), 1)
+    acc = None
+    for mm in range(m):  # static unroll: one MXU matmul per subspace
+        col = codes[:, mm].astype(jnp.int32)
+        oh = (col[:, None] == k_iota).astype(jnp.bfloat16)  # (cap_v, Ks)
+        part = jnp.dot(oh, dt_ref[mm], preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part  # (cap_v, Q)
+
+    row_id = lax.broadcasted_iota(jnp.int32, (cap_v, 1), 0)
+    pad_pen = jnp.where(row_id < vl, 0.0, jnp.inf).astype(jnp.float32)
+    scores = acc + pen + pad_pen  # (cap_v, Q) full squared distances
+    if pen_ref is not None:
+        scores = scores + pen_ref[...]  # (cap_v, 1) broadcast over Q
+    _ivf_tile_top2(scores, win, cap_v, qn, min_ref, arg_ref)
+
+
+def build_dtable(queries, codewords, dtype=jnp.bfloat16):
+    """(Q, D) queries -> (M, Ks, Q) ADC table ||q_m - cw[m,k]||^2.
+
+    The decoded-domain identity makes this exact; stored bf16 for MXU feeds
+    (2^-8-relative selection class — callers exactly rescore)."""
+    cw = codewords.astype(jnp.float32)  # (M, Ks, Ds)
+    m, ks, ds = cw.shape
+    q = queries.astype(jnp.float32).reshape(-1, m, ds)  # (Q, M, Ds)
+    qs = jnp.transpose(q, (1, 0, 2))  # (M, Q, Ds)
+    cross = jnp.einsum("mkd,mqd->mkq", cw, qs,
+                       preferred_element_type=jnp.float32)
+    cn = jnp.sum(cw * cw, axis=2)  # (M, Ks)
+    qn2 = jnp.sum(qs * qs, axis=2)  # (M, Q)
+    return (cn[:, :, None] - 2.0 * cross + qn2[:, None, :]).astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("cap_v", "interpret"))
+def ivf_dt_window_tile_minima(queries, codes_g, codewords, flat, dup, vlen,
+                              cap_v, interpret=False, pen=None):
+    """Memory-lean IVF window scan, dtable formulation (see
+    _ivf_dt_window_kernel). Same output contract as ivf_pq_window_tile_minima
+    except vmin INCLUDES ||q||^2 (callers rescore the top-k exactly anyway).
+    codewords: (M, Ks, Ds) f32 (NOT the padded form — the dtable replaces it).
+    pen: optional (total, 1) f32 grouped-slot subset penalty (0/+inf).
+    """
+    total, m = codes_g.shape
+    ks = codewords.shape[1]
+    qn = queries.shape[0]
+    u = flat.shape[0]
+    ntiles = cap_v // _IVF_TILE
+    assert cap_v % _IVF_TILE == 0 and total % cap_v == 0
+    dt = build_dtable(queries, codewords)  # (M, Ks, Q) bf16
+
+    masked = pen is not None
+    in_specs = [pl.BlockSpec((cap_v, m), lambda i, f_, d_, v_: (f_[i], 0))]
+    if masked:
+        in_specs.append(pl.BlockSpec((cap_v, 1),
+                                     lambda i, f_, d_, v_: (f_[i], 0)))
+    in_specs.append(pl.BlockSpec((m, ks, qn), lambda i, f_, d_, v_: (0, 0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(u,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((2 * ntiles, qn), lambda i, f_, d_, v_: (i, 0)),
+            pl.BlockSpec((2 * ntiles, qn), lambda i, f_, d_, v_: (i, 0)),
+        ],
+    )
+    kernel = partial(_ivf_dt_window_kernel, ks=ks, cap_v=cap_v, masked=masked)
+    args = (flat, dup, vlen, codes_g) + ((pen,) if masked else ()) + (dt,)
+    vmin_t, amin_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((u * 2 * ntiles, qn), jnp.float32),
+            jax.ShapeDtypeStruct((u * 2 * ntiles, qn), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return vmin_t.T, amin_t.T
+
+
 def prepare_pq_scan_inputs(codes, norms, codewords, cap=None, blk=1024):
     """Host-side packing for pq_scan_topk: pad codes/norms to cap.
 

@@ -38,6 +38,7 @@ from rii_tpu.ops.ivf import (
     ivf_scan_topk,
     ivf_scan_topk_decoded,
     ivf_union_scan_topk,
+    ivf_union_scan_topk_i8,
     ivf_union_scan_topk_pq,
 )
 from rii_tpu.ops.pallas_scan import (
@@ -492,8 +493,9 @@ class Rii:
         dc = self._ensure_cache()
         # the fused window kernels handle subsets too: the target mask rides
         # as a per-slot 0/+inf penalty stream (ops/pallas_scan.py)
-        use_pallas_ivf = (("decoded_g" in dc or "codes_g" in dc)
-                          and self._use_pallas_scan())
+        has_union = ("decoded_g" in dc or "decoded_g_i8" in dc
+                     or "codes_g" in dc)
+        use_pallas_ivf = has_union and self._use_pallas_scan()
         qp, qn = _pad_queries(queries, lo=8 if use_pallas_ivf else 1)
         qd = jnp.asarray(qp)
         s = None if tids is None else len(tids)
@@ -507,7 +509,7 @@ class Rii:
             kwargs = dict(target_ids=jnp.asarray(tids_pad), n_targets=jnp.int32(s))
         rt = getattr(self, "topk_recall", None)
         probe_full = w >= self.nlist
-        if "decoded_g" in dc or "codes_g" in dc:
+        if has_union:
             # union-bucket batched probe over the balanced virtual-bucket
             # replica: windows DMA'd contiguously, scored for the batch in one
             # MXU GEMM (ops/ivf.py::ivf_union_scan_topk). Probe width is in
@@ -543,6 +545,16 @@ class Rii:
                     topk=topk, cap_u=dc["cap_v"], nlist_pad=dc["nlist_v_pad"],
                     target_mask=tm, recall_target=rt,
                     use_pallas=use_pallas_ivf and u_est >= 2048,
+                    interpret=self._interp())
+            elif "decoded_g_i8" in dc:
+                # int8 windows: half the bf16 DMA traffic; exact rescore from
+                # the uint8 codes (ops/ivf.ivf_union_scan_topk_i8)
+                d, i = ivf_union_scan_topk_i8(
+                    qd, dc["decoded_g_i8"], dc["i8_scales_g"], dc["norms_g"],
+                    dc["order_g"], dc["codes_flat"], dc["codewords"],
+                    dc["centers_dec_v"], dc["centers_norms_v"], w=wv,
+                    topk=topk, cap_u=dc["cap_v"], nlist_pad=dc["nlist_v_pad"],
+                    target_mask=tm, recall_target=rt,
                     interpret=self._interp())
             else:
                 # memory-lean: uint8 code windows, decoded in-flight (in VMEM
@@ -813,15 +825,25 @@ class Rii:
                 "centers_norms_v": jnp.asarray(cnv_c.astype(np.float32)),
             })
             d_dim = self.M * cw.shape[2]
-            # gate the COMBINED bf16 footprint: the linear replica
-            # (decoded_flat, cap rows) already holds cap*d*2 bytes, so the
-            # window replica is only added if the sum stays inside the budget
-            # (otherwise deployments sized to the knob could OOM at ~2x)
-            has_flat = "decoded_flat" in dc or "decoded_t" in dc
-            flat_bytes = cap * (d_dim * 2 + 8 * 4) if has_flat else 0
-            if (resolved == "bf16"
-                    and flat_bytes + ul["total"] * d_dim * 2
-                    <= self.decoded_cache_budget):
+            # gate the COMBINED footprint: the linear replica (decoded_flat /
+            # decoded_t / int8, cap rows) already holds its bytes, so window
+            # replicas are only added if the sum stays inside the budget
+            # (otherwise deployments sized to the knob could OOM at ~2x).
+            # Tiering: bf16 windows > int8 windows (half the bytes AND DMA
+            # traffic; code-rescored) > uint8 code windows (memory floor).
+            if "decoded_flat" in dc or "decoded_t" in dc:
+                flat_bytes = cap * (d_dim * 2 + 8 * 4)
+            elif "decoded_i8" in dc or "decoded_i8_t" in dc:
+                flat_bytes = cap * (d_dim + 8 * 4)
+            else:
+                flat_bytes = 0
+            budget = self.decoded_cache_budget
+            win_bf16 = (resolved == "bf16"
+                        and flat_bytes + ul["total"] * d_dim * 2 <= budget)
+            win_i8 = (not win_bf16 and self._use_pallas_scan()
+                      and resolved in ("bf16", "int8")
+                      and flat_bytes + ul["total"] * d_dim <= budget)
+            if win_bf16:
                 codes_g = jnp.asarray(ul["codes_grouped"])
                 dec_g = build_decoded_cache(codes_g, dc["codewords"],
                                             block=2048 if ul["total"]
@@ -831,6 +853,16 @@ class Rii:
                 # XLA paths mask padding via the +inf grouped norms)
                 dc["decoded_g"] = jnp.where((dc["order_g"] < 0)[:, None],
                                             jnp.bfloat16(1e15), dec_g)
+            elif win_i8:
+                codes_g = jnp.asarray(ul["codes_grouped"])
+                dec_g = build_decoded_cache(codes_g, dc["codewords"],
+                                            block=2048 if ul["total"]
+                                            % 2048 == 0 else ul["cap_v"])
+                dec_i8, dc["i8_scales_g"] = quantize_replica_i8(dec_g)
+                del dec_g
+                # padding is masked by the penalty stream (derived from the
+                # +inf grouped norms inside ivf_union_scan_topk_i8)
+                dc["decoded_g_i8"] = dec_i8
             else:
                 dc["codes_g"] = jnp.asarray(ul["codes_grouped"])
                 dc["vlen_g"] = jnp.asarray(ul["vlen"])

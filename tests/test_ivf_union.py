@@ -287,3 +287,94 @@ def test_pq_window_kernel_subset_mask_interpret():
     rec = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
                    for a, b in zip(ix, ip)])
     assert rec >= 0.9
+
+
+def test_dtable_window_kernel_interpret_matches_xla():
+    """Small-Q pq-mode rides the DTABLE window kernel (scores accumulated as
+    one-hot @ dtable matmuls); it must agree with the exact XLA pq union."""
+    import jax.numpy as jnp
+    from rii_tpu.ops.ivf import ivf_union_scan_topk_pq
+
+    rng = np.random.RandomState(77)
+    N, D = 3000, 32
+    X = rng.random((N, D)).astype(np.float32)
+    pq = PQ(M=4, Ks=32, verbose=False).fit(X[:1000], iter=3)
+    e = Rii(pq)
+    e.scan_mode = "pq"
+    e.pallas_interpret = True
+    e.add_configure(X, nlist=50, iter=3)
+    dc = e._ensure_cache()
+    qd = jnp.asarray(np.ascontiguousarray(X[rng.choice(N, 8, replace=False)]))
+    assert qd.shape[0] < D  # the dtable-kernel gate
+    args = (qd, dc["codes_g"], dc["norms_g"], dc["order_g"], dc["codewords"],
+            dc["centers_dec_v"], dc["centers_norms_v"])
+    kw = dict(w=8, topk=10, cap_u=dc["cap_v"], nlist_pad=dc["nlist_v_pad"],
+              recall_target=None, vlen=dc["vlen_g"],
+              cw_padded=dc["pallas_cw"])
+    d_x, i_x = ivf_union_scan_topk_pq(*args, **kw)
+    d_p, i_p = ivf_union_scan_topk_pq(*args, **kw, use_pallas=True,
+                                      interpret=True)
+    ix, ip = np.asarray(i_x), np.asarray(i_p)
+    assert (ix[:, 0] == ip[:, 0]).all()
+    rec = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                   for a, b in zip(ix, ip)])
+    assert rec >= 0.9
+    # rescored distances are exact for common ids
+    np.testing.assert_allclose(np.asarray(d_p)[:, 0], np.asarray(d_x)[:, 0],
+                               rtol=1e-4)
+
+
+def test_i8_window_union_matches_linear_interpret():
+    """int8 virtual-bucket windows (the middle memory tier): full-probe union
+    must reproduce the exact linear scan's top-k (selection is int8-class,
+    the final top-k is exactly rescored from the codes), subsets included."""
+    import jax.numpy as jnp
+    from rii_tpu.ops.ivf import ivf_union_scan_topk_i8
+
+    rng = np.random.RandomState(55)
+    N, D = 3000, 32
+    X = rng.random((N, D)).astype(np.float32)
+    pq = PQ(M=4, Ks=32, verbose=False).fit(X[:1000], iter=3)
+    e = Rii(pq)
+    e.scan_mode = "int8"
+    e.pallas_interpret = True
+    e.add_configure(X, nlist=50, iter=3)
+    dc = e._ensure_cache()
+    assert "decoded_g_i8" in dc and "i8_scales_g" in dc, sorted(dc)
+
+    # f32-HIGHEST exact baseline (the i8 op rescores at HIGHEST; the int8
+    # engine's own linear path rescores bf16-class, which flips near-ties)
+    ref = Rii(pq)
+    ref.scan_mode = "pq"
+    ref.topk_recall = None
+    ref.add_configure(X, nlist=50, iter=3)
+
+    qs = np.ascontiguousarray(X[rng.choice(N, 8, replace=False)])
+    qd = jnp.asarray(qs)
+    ids_l, d_l = ref.query_batch(qs, topk=10, method="linear")
+
+    args = (qd, dc["decoded_g_i8"], dc["i8_scales_g"], dc["norms_g"],
+            dc["order_g"], dc["codes_flat"], dc["codewords"],
+            dc["centers_dec_v"], dc["centers_norms_v"])
+    kw = dict(w=dc["nlist_v_pad"], topk=10, cap_u=dc["cap_v"],
+              nlist_pad=dc["nlist_v_pad"], recall_target=None, interpret=True)
+    d_i, i_i = ivf_union_scan_topk_i8(*args, **kw)
+    ii = np.asarray(i_i)
+    assert (ii[:, 0] == ids_l[:, 0]).all()
+    rec = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                   for a, b in zip(ids_l, ii)])
+    assert rec >= 0.85  # int8 selection + 8-slot tile top-2 class
+    np.testing.assert_allclose(np.asarray(d_i)[:, 0], d_l[:, 0], rtol=1e-3)
+
+    # subset: returned ids must be members; top-1 matches masked linear
+    tids = np.sort(rng.choice(N, 700, replace=False)).astype(np.int64)
+    mask = np.zeros(dc["cap"], dtype=bool)
+    mask[tids] = True
+    tm = jnp.take(jnp.asarray(mask), jnp.clip(dc["order_g"], 0, dc["cap"] - 1))
+    d_s, i_s = ivf_union_scan_topk_i8(*args, **kw, target_mask=tm)
+    i_sl, d_sl = ref._query_linear_batch(qs, 10, tids)
+    is_ = np.asarray(i_s)
+    tset = set(tids.tolist())
+    for row in is_:
+        assert set(row[row >= 0].tolist()) <= tset
+    assert (is_[:, 0] == i_sl[:, 0]).all()
