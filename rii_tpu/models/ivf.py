@@ -85,7 +85,8 @@ def build_grouped_layout(codes, norms, assignments, nlist):
     }
 
 
-def build_virtual_layout(codes, norms, assignments, nlist, cap_v=256, pad_to=8):
+def build_virtual_layout(codes, norms, assignments, nlist, cap_v=256, pad_to=8,
+                         headroom=0.0):
     """Balanced virtual-bucket layout for the union-bucket IVF scan.
 
     Each real bucket b (reference posting list, /root/reference/src/rii.h:81-82)
@@ -97,15 +98,24 @@ def build_virtual_layout(codes, norms, assignments, nlist, cap_v=256, pad_to=8):
     ONE static size — bucket-size skew costs at most cap_v-1 padding slots per
     real bucket instead of inflating every window to the max bucket length.
 
+    headroom reserves extra tail slots per real bucket (ceil(len_b*headroom))
+    so post-build appends can be placed in O(batch) without a layout rebuild
+    (the incremental-add path; the reference's O(new) AddCodes,
+    /root/reference/src/rii.h:158-193). A bucket's members always occupy the
+    contiguous prefix [vstart[b]*cap_v, vstart[b]*cap_v + counts[b]).
+
     Returns dict: order (total,) int32 (-1 pad), codes_grouped (total, M) u8,
     norms_grouped (total,) f32 (+inf pad), vreal (nlist_v_pad,) int32 real
-    bucket per virtual bucket (-1 pad), cap_v, nlist_v, nlist_v_pad, total.
+    bucket per virtual bucket (-1 pad), vstart (nlist+1,) int64 first virtual
+    bucket per real bucket, counts (nlist,) member counts, cap_v, nlist_v,
+    nlist_v_pad, total.
     """
     m = codes.shape[1] if codes.ndim == 2 else 0
     assignments = np.asarray(assignments, dtype=np.int64)
     in_bucket = assignments >= 0
     counts = np.bincount(assignments[in_bucket], minlength=nlist)
-    chunks = np.maximum(1, -(-counts // cap_v))  # >=1 so every center is probeable
+    reserve = np.ceil(counts * float(headroom)).astype(np.int64)
+    chunks = np.maximum(1, -(-(counts + reserve) // cap_v))  # >=1: probeable
     nlist_v = int(chunks.sum())
     nlist_v_pad = -(-max(nlist_v, 1) // pad_to) * pad_to
     total = nlist_v_pad * cap_v
@@ -148,6 +158,8 @@ def build_virtual_layout(codes, norms, assignments, nlist, cap_v=256, pad_to=8):
         "norms_grouped": norms_grouped,
         "vreal": vreal,
         "vlen": vlen,
+        "vstart": vstart,
+        "counts": counts.astype(np.int64),
         "cap_v": cap_v,
         "nlist_v": nlist_v,
         "nlist_v_pad": nlist_v_pad,

@@ -14,8 +14,10 @@ mutates. Capacities grow in powers of two so the jit cache stays bounded.
 
 import copy
 import time
+from functools import partial
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from rii_tpu.models.pq import PQ
@@ -71,6 +73,27 @@ def _pad_queries(queries, lo=1):
         return queries, qn
     pad = np.broadcast_to(queries[:1], (bucket - qn, queries.shape[1]))
     return np.concatenate([queries, pad], axis=0), qn
+
+
+# jitted in-place cache updaters for the incremental-add path: donation lets
+# XLA scatter into the existing device buffer, so an append costs O(batch),
+# not O(N) (the reference's AddCodes contract, /root/reference/src/rii.h:158-193)
+@partial(jax.jit, donate_argnums=(0,))
+def _set_rows(arr, idx, rows):
+    return arr.at[idx].set(rows)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _set_cols(arr, idx, cols):
+    return arr.at[:, idx].set(cols)
+
+
+@jax.jit
+def _decode_rows(codes, codewords):
+    """bf16 decoded rows, bit-identical to build_decoded_cache's blocks."""
+    from rii_tpu.ops.decode import onehot_decode
+    return onehot_decode(codes, codewords, dtype=jnp.float32).astype(
+        jnp.bfloat16)
 
 
 class Rii:
@@ -269,10 +292,129 @@ class Rii:
         else:
             assign = np.full(codes.shape[0], -1, dtype=np.int32)
         self._assign_chunks.append(assign)
+        n0 = self._n
         self._n += codes.shape[0]
-        self._bump()
+        self._version += 1
+        # incremental path: place only the new rows into the device cache's
+        # spare capacity (O(batch) — the reference's AddCodes is O(new),
+        # src/rii.h:158-193); falls back to a lazy full rebuild on overflow
+        if not self._apply_add_to_cache(codes, assign, n0):
+            self._dc = None
         if self._verbose:
             print(f"{codes.shape[0]} new vectors are added. Total: {self._n}")
+
+    def _apply_add_to_cache(self, codes, assign, n0):
+        """Scatter k new rows into the live device cache. Returns False when
+        no cache exists or capacity is exhausted (caller drops the cache)."""
+        dc = self._dc
+        k = codes.shape[0]
+        if dc is None or k == 0:
+            return dc is not None
+        if dc.get("n_dev") is None or n0 + k > dc["cap"]:
+            return False
+        update_ivf = bool((assign >= 0).any())
+        if update_ivf and "v_counts" not in dc:
+            return False
+        if update_ivf:
+            # check virtual-window capacity BEFORE mutating anything
+            add_counts = np.bincount(assign[assign >= 0],
+                                     minlength=self.nlist)
+            new_counts = dc["v_counts"] + add_counts
+            if (new_counts > dc["v_capacity"]).any():
+                return False
+
+        cw = np.asarray(self.codewords, dtype=np.float32)
+        norms_new = code_norms_np(cw, codes)
+        idx = jnp.asarray(np.arange(n0, n0 + k, dtype=np.int32))
+        codes_j = jnp.asarray(codes)
+        norms_j = jnp.asarray(norms_new)
+        dc["codes_flat"] = _set_rows(dc["codes_flat"], idx, codes_j)
+        dc["norms_flat"] = _set_rows(dc["norms_flat"], idx, norms_j)
+        dec_new = None
+        if ("decoded_t" in dc or "decoded_flat" in dc or "decoded_i8_t" in dc
+                or "decoded_i8" in dc or "decoded_g" in dc
+                or "decoded_g_i8" in dc):
+            dec_new = _decode_rows(codes_j, dc["codewords"])  # (k, D) bf16
+        if "decoded_t" in dc:
+            dc["decoded_t"] = _set_cols(dc["decoded_t"], idx, dec_new.T)
+            dc["norms_rep"] = _set_cols(dc["norms_rep"], idx,
+                                        jnp.broadcast_to(norms_j[None, :],
+                                                         (8, k)))
+        if "decoded_flat" in dc:
+            dc["decoded_flat"] = _set_rows(dc["decoded_flat"], idx, dec_new)
+        if "decoded_i8_t" in dc or "decoded_i8" in dc:
+            # re-quantize with the EXISTING column scales (clipped): new rows
+            # beyond the old per-column maxima lose a little selection
+            # precision until the next rebuild — the exact rescore absorbs it
+            q_i8 = jnp.clip(jnp.round(dec_new.astype(jnp.float32)
+                                      / dc["i8_scales"][None, :]),
+                            -127, 127).astype(jnp.int8)
+            if "decoded_i8_t" in dc:
+                dc["decoded_i8_t"] = _set_cols(dc["decoded_i8_t"], idx, q_i8.T)
+                dc["norms_rep"] = _set_cols(dc["norms_rep"], idx,
+                                            jnp.broadcast_to(norms_j[None, :],
+                                                             (8, k)))
+            else:
+                dc["decoded_i8"] = _set_rows(dc["decoded_i8"], idx, q_i8)
+        if "pallas_codes" in dc:
+            dc["pallas_codes"] = _set_rows(dc["pallas_codes"], idx, codes_j)
+            dc["pallas_norms"] = _set_rows(dc["pallas_norms"], idx,
+                                           norms_j[:, None])
+
+        if update_ivf:
+            # place each new id at its bucket's contiguous tail (members of
+            # bucket b always occupy [vstart[b]*cap_v, ... + counts[b]));
+            # append-only ids keep the ascending-within-bucket invariant
+            vstart = dc["v_vstart"]
+            counts = dc["v_counts"]
+            cap_v = dc["cap_v"]
+            perm = np.argsort(assign, kind="stable")
+            srt = assign[perm]
+            offs = np.arange(k, dtype=np.int64) - np.searchsorted(srt, srt)
+            slots = vstart[srt] * cap_v + counts[srt] + offs
+            slots_j = jnp.asarray(slots.astype(np.int32))
+            ids_new = jnp.asarray((n0 + perm).astype(np.int32))
+            dc["order_g"] = _set_rows(dc["order_g"], slots_j, ids_new)
+            dc["norms_g"] = _set_rows(dc["norms_g"], slots_j,
+                                      jnp.asarray(norms_new[perm]))
+            if "decoded_g" in dc:
+                dc["decoded_g"] = _set_rows(dc["decoded_g"], slots_j,
+                                            dec_new[jnp.asarray(perm)])
+            elif "decoded_g_i8" in dc:
+                qg = jnp.clip(jnp.round(dec_new.astype(jnp.float32)
+                                        / dc["i8_scales_g"][None, :]),
+                              -127, 127).astype(jnp.int8)
+                dc["decoded_g_i8"] = _set_rows(dc["decoded_g_i8"], slots_j,
+                                               qg[jnp.asarray(perm)])
+            if "codes_g" in dc:
+                dc["codes_g"] = _set_rows(dc["codes_g"], slots_j,
+                                          codes_j[jnp.asarray(perm)])
+            dc["v_counts"] = new_counts
+            if "vlen_g" in dc:
+                # recompute the affected windows' member counts on host
+                touched = np.unique(srt)
+                wins, vls = [], []
+                for b in touched:
+                    nwin = int(-(-dc["v_capacity"][b] // cap_v))
+                    w0 = int(vstart[b])
+                    fill = np.clip(new_counts[b]
+                                   - np.arange(nwin, dtype=np.int64) * cap_v,
+                                   0, cap_v)
+                    wins.append(np.arange(w0, w0 + nwin, dtype=np.int64))
+                    vls.append(fill)
+                dc["vlen_g"] = _set_rows(
+                    dc["vlen_g"], jnp.asarray(np.concatenate(wins)
+                                              .astype(np.int32)),
+                    jnp.asarray(np.concatenate(vls).astype(np.int32)))
+            # the legacy tight-packed grouped layout has no spare capacity;
+            # drop it (dead for querying — the union layout always exists)
+            for key in ("order", "slot_cluster", "codes_grouped",
+                        "norms_grouped", "bucket_start"):
+                dc.pop(key, None)
+
+        dc["n_dev"] = n0 + k
+        dc["version"] = self._version
+        return True
 
     # ------------------------------------------------------------------ #
     # query
@@ -735,6 +877,7 @@ class Rii:
         dc = {
             "version": self._version,
             "cap": cap,
+            "n_dev": self._n,
             "block": block,
             "block_dec": block_dec,
             "codewords": jnp.asarray(cw),
@@ -810,11 +953,16 @@ class Rii:
             # windows measured recall@10 0.705 vs 0.641 for 1024-slot windows
             # (which are ~1.4x faster, DMA-issue-bound) — recall parity with
             # the reference wins the tie
-            ul = build_virtual_layout(codes, norms, self._assignments(), nlist)
+            # 12.5% per-bucket headroom reserves spare window slots so
+            # incremental adds place new rows in O(batch) (see
+            # _apply_add_to_cache) instead of rebuilding the layout
+            ul = build_virtual_layout(codes, norms, self._assignments(), nlist,
+                                      headroom=0.125)
             vreal_c = ul["vreal"]
             cdv_c = centers_dec[np.clip(vreal_c, 0, nlist_pad - 1)]
             cnv_c = np.where(vreal_c >= 0, centers_norms[
                 np.clip(vreal_c, 0, nlist_pad - 1)], np.inf)
+            vstart = ul["vstart"]
             dc.update({
                 "cap_v": ul["cap_v"],
                 "nlist_v": ul["nlist_v"],
@@ -823,6 +971,11 @@ class Rii:
                 "norms_g": jnp.asarray(ul["norms_grouped"]),
                 "centers_dec_v": jnp.asarray(cdv_c),
                 "centers_norms_v": jnp.asarray(cnv_c.astype(np.float32)),
+                # host mirrors for the incremental-add placement
+                "v_vstart": vstart[:nlist].astype(np.int64),
+                "v_counts": ul["counts"].copy(),
+                "v_capacity": ((vstart[1:] - vstart[:-1])
+                               * ul["cap_v"]).astype(np.int64),
             })
             d_dim = self.M * cw.shape[2]
             # gate the COMBINED footprint: the linear replica (decoded_flat /
@@ -890,7 +1043,8 @@ class Rii:
         dev = 0
         for k, v in dc.items():
             nb = getattr(v, "nbytes", None)
-            if nb is not None and not np.isscalar(v):
+            if (nb is not None and not np.isscalar(v)
+                    and not isinstance(v, np.ndarray)):  # np = host mirrors
                 out[f"device:{k}"] = int(nb)
                 dev += int(nb)
         out["device_total"] = dev

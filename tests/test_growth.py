@@ -71,3 +71,116 @@ def test_memory_breakdown_accounts_device_cache():
     e.add(X[:100], update_posting_lists=True)
     mb2 = e.memory_breakdown()
     assert mb2["host_codes"] == 2100 * 4
+
+
+def test_incremental_add_keeps_cache_and_matches_rebuild():
+    """add() after a build must scatter into the live device cache (O(batch),
+    the reference's AddCodes contract src/rii.h:158-193) and give the same
+    results as a dropped-cache rebuild."""
+    rng = np.random.RandomState(21)
+    D = 32
+    X1 = rng.random((3000, D)).astype(np.float32)
+    X2 = rng.random((200, D)).astype(np.float32)
+    pq = PQ(M=4, Ks=32).fit(X1)
+    e = Rii(pq)
+    e.scan_mode = "bf16"
+    e.topk_recall = None  # exact selection -> bit-comparable results
+    e.add_configure(X1, nlist=40)
+    dc_before = e._ensure_cache()
+    ver_obj = id(dc_before)
+
+    e.add(X2)  # auto -> update_posting_lists=True
+    assert e._dc is not None, "incremental add must keep the device cache"
+    assert id(e._dc) == ver_obj and e._dc["version"] == e._version
+    assert e._dc["n_dev"] == 3200
+
+    # reference engine: identical host state, cache rebuilt from scratch
+    r = Rii(pq)
+    r.scan_mode = "bf16"
+    r.topk_recall = None
+    r.add_configure(X1, nlist=40)
+    r.add(X2)
+    r._dc = None  # force the full rebuild path
+
+    qs = np.ascontiguousarray(
+        np.concatenate([X1[:4], X2[:4]]), dtype=np.float32)
+    ids_e, d_e = e.query_batch(qs, topk=10, method="linear")
+    ids_r, d_r = r.query_batch(qs, topk=10, method="linear")
+    np.testing.assert_array_equal(ids_e, ids_r)
+    np.testing.assert_allclose(d_e, d_r, rtol=0, atol=0)
+
+    # IVF at L=N: full coverage on both layouts -> identical result sets
+    ids_ei, d_ei = e.query_batch(qs, topk=10, L=e.N, method="ivf")
+    ids_ri, d_ri = r.query_batch(qs, topk=10, L=r.N, method="ivf")
+    for a, b in zip(ids_ei, ids_ri):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(np.sort(d_ei, 1), np.sort(d_ri, 1), rtol=1e-5)
+
+    # partial-L IVF must find the new ids (they joined their posting lists)
+    ids_p, _ = e.query_batch(X2[:8], topk=5, L=1000, method="ivf")
+    hits = np.mean([3000 + i in ids_p[i] for i in range(8)])
+    assert hits >= 0.75
+
+    # posting-list property still reflects host truth
+    assert sum(len(p) for p in e.posting_lists) == 3200
+
+
+def test_incremental_add_overflow_falls_back_to_rebuild():
+    """A batch larger than the spare capacity drops the cache (lazy rebuild)
+    and stays correct."""
+    rng = np.random.RandomState(22)
+    D = 32
+    X1 = rng.random((2000, D)).astype(np.float32)
+    X2 = rng.random((3000, D)).astype(np.float32)  # >> headroom
+    pq = PQ(M=4, Ks=32).fit(X1)
+    e = Rii(pq)
+    e.scan_mode = "bf16"
+    e.add_configure(X1, nlist=30)
+    e._ensure_cache()
+    e.add(X2)
+    # 3000 rows exceed both the pow2 cap (2048) and the window headroom
+    assert e._dc is None
+    ids, _ = e.query(X2[11], topk=3, method="linear")
+    assert 2011 in ids
+
+
+def test_incremental_add_without_update_invisible_to_ivf():
+    """update_posting_lists=False rows join the linear structures only."""
+    rng = np.random.RandomState(23)
+    D = 32
+    X1 = rng.random((3000, D)).astype(np.float32)
+    X2 = rng.random((100, D)).astype(np.float32)
+    pq = PQ(M=4, Ks=32).fit(X1)
+    e = Rii(pq)
+    e.scan_mode = "bf16"
+    e.add_configure(X1, nlist=40)
+    e._ensure_cache()
+    e.add(X2, update_posting_lists=False)
+    assert e._dc is not None  # linear-only scatter keeps the cache
+    ids, _ = e.query(X2[5], topk=3, method="linear")
+    assert 3005 in ids
+    assert sum(len(p) for p in e.posting_lists) == 3000
+
+
+def test_incremental_add_pallas_cache_variants():
+    """The transposed bf16 / int8 / pq pallas caches scatter new rows too
+    (column scatters for the (D, cap) replicas)."""
+    import pytest as _pytest
+    rng = np.random.RandomState(24)
+    D = 32
+    X1 = rng.random((3000, D)).astype(np.float32)
+    X2 = rng.random((150, D)).astype(np.float32)
+    pq = PQ(M=4, Ks=32).fit(X1)
+    for mode, key in (("bf16", "decoded_t"), ("int8", "decoded_i8_t"),
+                      ("pq", "pallas_codes")):
+        e = Rii(pq)
+        e.scan_mode = mode
+        e.pallas_interpret = True
+        e.add_configure(X1, nlist=40)
+        dc = e._ensure_cache()
+        assert key in dc, (mode, sorted(dc))
+        e.add(X2)
+        assert e._dc is not None, mode
+        ids, _ = e.query_batch(X2[:4], topk=3, method="linear")
+        hits = np.mean([3000 + i in ids[i] for i in range(4)])
+        assert hits >= 0.75, mode  # int8-class selection can swap near-ties
