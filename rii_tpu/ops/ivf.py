@@ -37,7 +37,7 @@ def _searchsorted_member(sorted_ids, n_valid, values):
 def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
                         centers_norms, w, topk, cap_u, nlist_pad,
                         target_mask=None, recall_target=None,
-                        use_pallas=False, interpret=False):
+                        use_pallas=False, interpret=False, probes=None):
     """Batched IVF probe via the UNION of the batch's probed buckets.
 
     The TPU-native replacement for the reference's per-query posting-list walk
@@ -65,6 +65,9 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
         cap_u/nlist_pad: static layout constants.
         target_mask: optional (nlist_pad * cap_u,) bool — False slots excluded
             (the subset-search filter, already mapped to grouped slots).
+        probes: optional (flat (U,) int32 sorted window ids, dup (U,) bool/int
+            duplicate-or-masked flags) — overrides steps (1)-(2); used by the
+            sharded engine's deterministic global-probe selection.
 
     Returns (dists (Q, topk) f32 ascending, ids (Q, topk) int32, -1 padded).
     """
@@ -76,22 +79,28 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
     if target_mask is not None:
         norms_g = jnp.where(target_mask, norms_g, jnp.inf)
 
-    # (1) coarse scoring + probe selection: one GEMM for the whole batch.
-    cscores = centers_norms[None, :] - 2.0 * jnp.dot(
-        q16, centers_dec.T.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32)
-    _, probe = lax.top_k(-cscores, w)  # (Q, w)
-
-    # (2) sorted, dup-masked union of probed buckets.
-    if qn * w >= nlist_pad:
-        u = nlist_pad
-        flat = jnp.arange(nlist_pad, dtype=jnp.int32)
-        dup = jnp.zeros((nlist_pad,), dtype=bool)
+    if probes is not None:
+        flat, dup = probes
+        flat = flat.astype(jnp.int32)
+        dup = dup.astype(bool)
+        u = flat.shape[0]
     else:
-        u = qn * w
-        flat = jnp.sort(probe.astype(jnp.int32).reshape(-1))
-        dup = jnp.concatenate(
-            [jnp.zeros((1,), bool), flat[1:] == flat[:-1]])
+        # (1) coarse scoring + probe selection: one GEMM for the whole batch.
+        cscores = centers_norms[None, :] - 2.0 * jnp.dot(
+            q16, centers_dec.T.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        _, probe = lax.top_k(-cscores, w)  # (Q, w)
+
+        # (2) sorted, dup-masked union of probed buckets.
+        if qn * w >= nlist_pad:
+            u = nlist_pad
+            flat = jnp.arange(nlist_pad, dtype=jnp.int32)
+            dup = jnp.zeros((nlist_pad,), dtype=bool)
+        else:
+            u = qn * w
+            flat = jnp.sort(probe.astype(jnp.int32).reshape(-1))
+            dup = jnp.concatenate(
+                [jnp.zeros((1,), bool), flat[1:] == flat[:-1]])
 
     if use_pallas:
         # fused kernel: windows streamed in place (no gather copy); per-8-slot
@@ -219,7 +228,7 @@ def ivf_union_scan_topk_pq(queries, codes_g, norms_g, order_g, codewords,
                            centers_dec, centers_norms, w, topk, cap_u,
                            nlist_pad, target_mask=None, recall_target=None,
                            vlen=None, cw_padded=None, use_pallas=False,
-                           interpret=False):
+                           interpret=False, probes=None):
     """Memory-lean union-bucket IVF over uint8 code windows (no replica).
 
     Same probe/union/merge scaffold as :func:`ivf_union_scan_topk`, but the
@@ -237,20 +246,26 @@ def ivf_union_scan_topk_pq(queries, codes_g, norms_g, order_g, codewords,
     if target_mask is not None:
         norms_g = jnp.where(target_mask, norms_g, jnp.inf)
 
-    cscores = centers_norms[None, :] - 2.0 * jnp.dot(
-        q16, centers_dec.T.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32)
-    _, probe = lax.top_k(-cscores, w)  # (Q, w)
-
-    if qn * w >= nlist_pad:
-        u = nlist_pad
-        flat = jnp.arange(nlist_pad, dtype=jnp.int32)
-        dup = jnp.zeros((nlist_pad,), dtype=bool)
+    if probes is not None:
+        flat, dup = probes
+        flat = flat.astype(jnp.int32)
+        dup = dup.astype(bool)
+        u = flat.shape[0]
     else:
-        u = qn * w
-        flat = jnp.sort(probe.astype(jnp.int32).reshape(-1))
-        dup = jnp.concatenate(
-            [jnp.zeros((1,), bool), flat[1:] == flat[:-1]])
+        cscores = centers_norms[None, :] - 2.0 * jnp.dot(
+            q16, centers_dec.T.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        _, probe = lax.top_k(-cscores, w)  # (Q, w)
+
+        if qn * w >= nlist_pad:
+            u = nlist_pad
+            flat = jnp.arange(nlist_pad, dtype=jnp.int32)
+            dup = jnp.zeros((nlist_pad,), dtype=bool)
+        else:
+            u = qn * w
+            flat = jnp.sort(probe.astype(jnp.int32).reshape(-1))
+            dup = jnp.concatenate(
+                [jnp.zeros((1,), bool), flat[1:] == flat[:-1]])
 
     uc = max(1, min(u, (1 << 24) // max(1, cap_u * qn)))
     n_chunks = -(-u // uc)

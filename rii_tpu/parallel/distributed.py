@@ -313,8 +313,8 @@ class ShardedRii:
         self._scan_cache[key] = fn
         return fn
 
-    def _ivf_fn(self, topk, wv_local, s_pad):
-        key = ("ivf", topk, wv_local, s_pad)
+    def _ivf_fn(self, topk, wv, s_pad):
+        key = ("ivf", topk, wv, s_pad)
         if key in self._scan_cache:
             return self._scan_cache[key]
         iv = self.ivf
@@ -330,24 +330,62 @@ class ShardedRii:
 
         def _local(queries, store_l, norms_l, order_l, cdec_l, cnorm_l,
                    vlen_l, cwp, codewords, tids, nt):
-            # per-shard local probing + union scan over the shard's windows;
-            # order_l already holds ORIGINAL (global) ids, so no offset needed
+            # DETERMINISTIC global probe selection: every shard scores its
+            # local virtual centers, the scores are all-gathered, and each
+            # query's GLOBAL top-wv window ids are computed identically on
+            # every shard — each shard then scans owned-and-selected windows
+            # (uniques-first compaction to the static budget below). The
+            # candidate set therefore covers the single-chip engine's probe
+            # set even under adversarial probe concentration on one shard
+            # (reference probe-order semantics: src/rii.h:279-310).
+            my = lax.axis_index(DATA_AXIS)
+            qn = queries.shape[0]
+            q16 = queries.astype(jnp.bfloat16)
+            cs_l = cnorm_l[None, :] - 2.0 * jnp.dot(
+                q16, cdec_l.T.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)  # (Q, nv_l)
+            cs_all = lax.all_gather(cs_l, DATA_AXIS)  # (ndev, Q, nv_l)
+            gscore = jnp.swapaxes(cs_all, 0, 1).reshape(qn, self.ndev * nv_l)
+            w_eff = min(wv, self.ndev * nv_l)
+            _, probe = lax.top_k(-gscore, w_eff)  # (Q, w_eff) GLOBAL ids
+            pf = probe.reshape(-1)
+            mine = (pf // nv_l) == my
+            loc = jnp.where(mine, pf - my * nv_l, 0)
+            sent = jnp.where(mine, 0, 1)
+            # sort by (window, sentinel-last) so a real probe of window 0
+            # precedes the sentinel copies; adjacent equal windows dedup
+            keys = jnp.sort(loc * 2 + sent)
+            flat_all = keys >> 1
+            s_all = keys & 1
+            dup_all = ((s_all == 1)
+                       | jnp.concatenate([jnp.zeros((1,), bool),
+                                          flat_all[1:] == flat_all[:-1]]))
+            u_budget = min(pf.shape[0], nv_l)
+            if u_budget < pf.shape[0]:
+                # uniques-first stable compaction: every unique owned window
+                # (<= nv_l of them) survives the truncation
+                keep = jnp.argsort(dup_all.astype(jnp.int32),
+                                   stable=True)[:u_budget]
+                flat_l = flat_all[keep]
+                dup_l = dup_all[keep]
+            else:
+                flat_l, dup_l = flat_all, dup_all
             tm = None
             if has_tids:
                 tm = _searchsorted_member(tids, nt, order_l)
             if mode == "bf16":
                 d_l, i_l = ivf_union_scan_topk(
                     queries, store_l, norms_l, order_l, cdec_l, cnorm_l,
-                    w=min(wv_local, nv_l), topk=topk, cap_u=cap_v,
+                    w=min(wv, nv_l), topk=topk, cap_u=cap_v,
                     nlist_pad=nv_l, target_mask=tm, recall_target=rt,
-                    use_pallas=use_pallas)
+                    use_pallas=use_pallas, probes=(flat_l, dup_l))
             else:
                 d_l, i_l = ivf_union_scan_topk_pq(
                     queries, store_l, norms_l, order_l, codewords,
-                    cdec_l, cnorm_l, w=min(wv_local, nv_l), topk=topk,
+                    cdec_l, cnorm_l, w=min(wv, nv_l), topk=topk,
                     cap_u=cap_v, nlist_pad=nv_l, target_mask=tm,
                     recall_target=rt, vlen=vlen_l, cw_padded=cwp,
-                    use_pallas=use_pallas)
+                    use_pallas=use_pallas, probes=(flat_l, dup_l))
             d_all = lax.all_gather(d_l, DATA_AXIS)  # (ndev, Q, k)
             g_all = lax.all_gather(i_l, DATA_AXIS)
             qn = queries.shape[0]
@@ -390,28 +428,37 @@ class ShardedRii:
 
     def query_ivf_batch(self, queries, topk=1, L=None, target_ids=None,
                         sort_target_ids=True):
-        """Sharded IVF probe: each shard probes its own wv/ndev nearest local
-        windows (2x slack for probe-ownership imbalance), then exact merge.
-
-        The global candidate set is the union of per-shard local tops — with
-        balanced virtual windows this covers the global top-wv with high
-        probability; distances are exact, the merge is exact. target_ids is a
-        global sorted id subset (the reference's subset search,
-        /root/reference/src/rii.h:291-295), applied per shard by membership.
+        """Sharded IVF probe with DETERMINISTIC global coverage: the global
+        top-wv windows per query are selected from all-gathered replicated
+        center scores, and each shard scans exactly the selected windows it
+        owns — so the candidate set equals the single-chip engine's probe
+        superset even when every hot window lives on one shard. Distances
+        are exact, the merge is exact. target_ids is a global sorted id
+        subset (the reference's subset search, /root/reference/src/rii.h:291-295),
+        applied per shard by membership.
         """
         assert self.ivf is not None, "IVF requires a reconfigured engine"
-        queries = self._rotated(queries)
         e = self.engine
         iv = self.ivf
-        tids, nt, s = self._prep_targets(target_ids, sort_target_ids)
         if L is None:
             L = e._multiple_of_L0_covering_topk(topk=topk)
+        s = None if target_ids is None else len(target_ids)
         denom = e.N if s is None else s
         slack = 3 * max(1, -(-iv["nlist_v"] // max(1, e.nlist)))
         wv = int(np.round(float(L) * iv["nlist_v"] / max(1, denom))) + slack
-        nv_l = iv["nlist_v_pad"] // self.ndev
-        wv_local = min(nv_l, max(1, _pow2(-(-wv // self.ndev) * 2)))
-        qn = queries.shape[0]
+        wv = min(iv["nlist_v_pad"], _pow2(max(1, wv)))
+        qn = np.atleast_2d(np.asarray(queries)).shape[0]
+        # same internal fallback as the single-chip engine: when the batch's
+        # global probe union covers (most of) the database, the contiguous
+        # linear scan is strictly faster and a candidate superset
+        union_slots = min(max(8, _pow2(qn)) * wv, iv["nlist_v"]) * iv["cap_v"]
+        if wv >= iv["nlist_v"] or 2 * union_slots >= self.cap:
+            return self.query_batch(queries, topk=topk,
+                                    target_ids=target_ids,
+                                    sort_target_ids=sort_target_ids,
+                                    method="linear")
+        queries = self._rotated(queries)
+        tids, nt, s = self._prep_targets(target_ids, sort_target_ids)
         qpad = _pow2(max(8, qn))  # >=8 for the fused window kernel
         if qpad != qn:
             queries = np.concatenate(
@@ -422,7 +469,7 @@ class ShardedRii:
         vlen = iv.get("vlen_g", iv["centers_norms_v"])  # placeholder sharded
         cwp = iv.get("cw_padded", self.codewords)  # placeholder replicated
         s_pad = None if tids is None else int(tids.shape[0])
-        d, i = self._ivf_fn(topk, wv_local, s_pad)(
+        d, i = self._ivf_fn(topk, wv, s_pad)(
             jnp.asarray(queries), store, iv["norms_g"], iv["order_g"],
             iv["centers_dec_v"], iv["centers_norms_v"], vlen, cwp,
             self.codewords,
