@@ -1093,17 +1093,20 @@ def estimate_best_threshold_function(e, queries):
 
     Run on demand (``reconfigure(calibrate=True)``) because each (|S|, method)
     pair compiles a kernel variant; the analytic model is the cheap default.
+    Probes are BATCHED — one device dispatch per (|S|, method) timing point
+    instead of a per-query loop, so calibration stays affordable on
+    dispatch-expensive (tunneled/remote) backends.
     """
     topk = 1
 
     def run(queries_, tids, L, method):
+        qs = np.ascontiguousarray(np.atleast_2d(queries_), dtype=np.float32)
         t0 = time.perf_counter()
-        for q in queries_:
-            if method == "linear":
-                e.query_linear(q, topk, tids)
-            else:
-                e.query_ivf(q, topk, tids, L)
-        return (time.perf_counter() - t0) / queries_.shape[0]
+        if method == "linear":
+            e._query_linear_batch(qs, topk, tids)
+        else:
+            e._query_ivf_batch(qs, topk, tids, L)
+        return (time.perf_counter() - t0) / qs.shape[0]
 
     def sweep(L):
         if e.N <= 128:
