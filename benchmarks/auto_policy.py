@@ -61,7 +61,7 @@ def main():
     s = 1 << 12
     while s < N:
         sizes.append(s)
-        s *= 8
+        s *= 4
     sizes.append(N)
 
     rows, violations = [], 0

@@ -68,7 +68,13 @@ def main():
     codes_g = jnp.asarray(ul["codes_grouped"])
     vlen_g = jnp.asarray(ul["vlen"])
     cwp = build_padded_codewords(cw)
-    dec_i8, scales_i8 = quantize_replica_i8(dc["decoded_g"].astype(jnp.float32))
+    # quantize the PLAIN decode (decoded_g carries 1e15 sentinel padding rows
+    # that would blow up the per-column scales; the engine cache also
+    # quantizes pre-sentinel — padding rides the penalty stream instead)
+    dec_plain = build_decoded_cache(codes_g, dc["codewords"],
+                                    block=dc["cap_v"])
+    dec_i8, scales_i8 = quantize_replica_i8(dec_plain)
+    del dec_plain
     log(f"stores ready: cap_v={dc['cap_v']} nlist_v={dc['nlist_v']}")
 
     for Q in QS:
@@ -110,12 +116,12 @@ def main():
         d_, i_ = ivf_union_scan_topk_i8(
             qd, dec_i8, scales_i8, dc["norms_g"], dc["order_g"],
             dc["codes_flat"], dc["codewords"], dc["centers_dec_v"],
-            dc["centers_norms_v"], interpret=not on_tpu, **kw)
+            dc["centers_norms_v"], vlen=vlen_g, interpret=not on_tpu, **kw)
         r_i8 = rec(i_)
 
         def i8_once(acc, qd_, a, b, c, d2, e2, f2, g2, h2):
             dd, _ = ivf_union_scan_topk_i8(qd_ + acc * 1e-30, a, b, c, d2,
-                                           e2, f2, g2, h2,
+                                           e2, f2, g2, h2, vlen=vlen_g,
                                            interpret=not on_tpu, **kw)
             return dd[0, 0]
 

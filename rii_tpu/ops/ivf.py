@@ -105,12 +105,13 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
     if use_pallas:
         # fused kernel: windows streamed in place (no gather copy); per-8-slot
         # top-2 + approx cross-tile merge + EXACT f32 rescore of the final
-        # top-k (the kernel's norms are bf16-class, and the rescore's +inf
-        # norms re-mask padding slots). On hardware, WPB windows per grid step
-        # via manual async DMA; interpret mode (CPU tests) uses the
-        # single-window auto-pipelined variant (same math). A target_mask
-        # rides along as a per-slot 0/+inf penalty stream — subset search on
-        # the fast path (reference behavior: src/rii.h:291-295).
+        # top-k. The (already subset-masked) f32 norms ride a streamed
+        # (cap_v, 1) channel — exact norms at selection, +inf carrying both
+        # padding and the subset filter (reference behavior:
+        # src/rii.h:291-295) — replacing the old in-kernel norm derivation
+        # (the kernel's largest VPU pass). On hardware, WPB windows per grid
+        # step via manual async DMA; interpret mode (CPU tests) uses the
+        # single-window auto-pipelined variant (same math).
         from rii_tpu.ops.pallas_scan import (
             ivf_window_tile_minima,
             ivf_window_tile_minima_multi,
@@ -140,7 +141,10 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
             pen_probe = None
             if pen_g is not None:
                 # gather the penalty into probe order (manual DMAs cannot
-                # tile 1-lane slices; the pipelined mask block can)
+                # tile 1-lane slices; the pipelined mask block can). The
+                # gather is paid ONLY on subset queries — a streamed-norms
+                # variant gathering unconditionally measured 2x slower at
+                # U=4096 (XLA row gathers degrade at thousands of rows)
                 pen_probe = jnp.take(pen_g.reshape(nlist_pad, cap_u),
                                      flat_i, axis=0).reshape(-1, 1)
             vmin, amin = ivf_window_tile_minima_multi(
@@ -398,21 +402,26 @@ def ivf_union_scan_topk_pq(queries, codes_g, norms_g, order_g, codewords,
 
 
 @partial(jax.jit, static_argnames=("w", "topk", "cap_u", "nlist_pad",
-                                   "recall_target", "interpret"))
+                                   "recall_target", "interpret",
+                                   "codes_grouped"))
 def ivf_union_scan_topk_i8(queries, decoded_g_i8, col_scales, norms_g,
                            order_g, codes, codewords, centers_dec,
                            centers_norms, w, topk, cap_u, nlist_pad,
-                           target_mask=None, recall_target=None,
-                           interpret=False):
+                           vlen=None, target_mask=None, recall_target=None,
+                           interpret=False, probes=None, codes_grouped=False):
     """Union-bucket IVF over int8 virtual-bucket windows — the middle memory
     tier (cap*D bytes vs bf16's 2x, ~M/D of the pq windows' compute).
 
-    Same probe/union scaffold as :func:`ivf_union_scan_topk`; selection runs
-    the fused int8 window kernels (half the bf16 DMA traffic, int8 MXU), and
-    the final top-k is exactly rescored from the uint8 codes (original-order
-    `codes`, rows addressed via order_g), so returned distances are the usual
-    exact-ADC f32 class. Always fused (this mode is only selected on
-    accelerators; interpret=True covers CPU tests).
+    Same probe/union scaffold as :func:`ivf_union_scan_topk` (including the
+    optional precomputed `probes` override for the sharded deterministic
+    path); selection runs the fused int8 window kernels (half the bf16 DMA
+    traffic, int8 MXU), and the final top-k is exactly rescored from the
+    uint8 codes, so returned distances are the usual exact-ADC f32 class.
+    `codes` is the original-order (cap, M) array by default (rows addressed
+    via order_g); codes_grouped=True treats it as the GROUPED (total, M)
+    layout addressed by slot (the sharded engine's local store). Always
+    fused (this mode is only selected on accelerators; interpret=True covers
+    CPU tests).
     """
     from rii_tpu.ops.pallas_scan import (
         ivf_i8_window_tile_minima,
@@ -427,40 +436,52 @@ def ivf_union_scan_topk_i8(queries, decoded_g_i8, col_scales, norms_g,
     if target_mask is not None:
         norms_g = jnp.where(target_mask, norms_g, jnp.inf)
 
-    cscores = centers_norms[None, :] - 2.0 * jnp.dot(
-        q16, centers_dec.T.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32)
-    _, probe = lax.top_k(-cscores, w)  # (Q, w)
-
-    if qn * w >= nlist_pad:
-        flat = jnp.arange(nlist_pad, dtype=jnp.int32)
-        dup = jnp.zeros((nlist_pad,), dtype=jnp.int32)
+    if probes is not None:
+        flat, dup = probes
+        flat = flat.astype(jnp.int32)
+        dup = dup.astype(jnp.int32)
     else:
-        flat = jnp.sort(probe.astype(jnp.int32).reshape(-1))
-        dup = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32),
-             (flat[1:] == flat[:-1]).astype(jnp.int32)])
+        cscores = centers_norms[None, :] - 2.0 * jnp.dot(
+            q16, centers_dec.T.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        _, probe = lax.top_k(-cscores, w)  # (Q, w)
 
-    # int8 has no +inf sentinel, so padding AND subset exclusion both ride
-    # the penalty stream, derived from the (already subset-masked) norms
-    pen_g = jnp.where(jnp.isfinite(norms_g), jnp.float32(0.0),
-                      jnp.float32(jnp.inf))[:, None]  # (total, 1)
+        if qn * w >= nlist_pad:
+            flat = jnp.arange(nlist_pad, dtype=jnp.int32)
+            dup = jnp.zeros((nlist_pad,), dtype=jnp.int32)
+        else:
+            flat = jnp.sort(probe.astype(jnp.int32).reshape(-1))
+            dup = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32),
+                 (flat[1:] == flat[:-1]).astype(jnp.int32)])
 
+    # padding is masked gather-free via the scalar-prefetched per-window
+    # member counts (vlen); the subset mask rides the (subset-only) pen
+    # stream — same no-gather-in-the-common-case policy as the bf16 path
+    pen_g = None
+    if target_mask is not None:
+        pen_g = jnp.where(target_mask, jnp.float32(0.0),
+                          jnp.float32(jnp.inf))[:, None]  # (total, 1)
+    vl = (jnp.take(vlen, flat) if vlen is not None
+          else jnp.full(flat.shape, cap_u, jnp.int32))
     if interpret or d % 128 != 0:
         vmin, amin = ivf_i8_window_tile_minima(
-            q_all, decoded_g_i8, col_scales, flat, dup, cap_v=cap_u,
-            interpret=interpret, pen=pen_g)
+            q_all, decoded_g_i8, col_scales, flat, dup, vl,
+            cap_v=cap_u, interpret=interpret, pen=pen_g)
     else:
         wpb = max(1, min(32, (1 << 22) // max(1, (cap_u // 4) * qn * 8)))
         upad = -(-flat.shape[0] // wpb) * wpb - flat.shape[0]
         if upad:
             flat = jnp.pad(flat, (0, upad), constant_values=0)
             dup = jnp.pad(dup, (0, upad), constant_values=1)
-        pen_probe = jnp.take(pen_g.reshape(nlist_pad, cap_u),
-                             flat, axis=0).reshape(-1, 1)
+            vl = jnp.pad(vl, (0, upad), constant_values=0)
+        pen_probe = None
+        if pen_g is not None:
+            pen_probe = jnp.take(pen_g.reshape(nlist_pad, cap_u),
+                                 flat, axis=0).reshape(-1, 1)
         vmin, amin = ivf_i8_window_tile_minima_multi(
-            q_all, decoded_g_i8, col_scales, flat, dup, cap_v=cap_u,
-            wpb=wpb, pen=pen_probe)
+            q_all, decoded_g_i8, col_scales, flat, dup, vl,
+            cap_v=cap_u, wpb=wpb, pen=pen_probe)
 
     # int8 selection reorders near-boundary candidates: overfetch 2x before
     # the exact rescore (same policy as replica_i8_scan_topk's overfetch)
@@ -473,7 +494,10 @@ def ivf_union_scan_topk_i8(queries, decoded_g_i8, col_scales, norms_g,
     slot_top = jnp.take_along_axis(amin, pos, axis=1)  # (Q, k_sel)
     safe = jnp.maximum(slot_top, 0)
     ids_orig = jnp.take(order_g, safe)  # (Q, k_sel) original ids (-1 pad)
-    cand = jnp.take(codes, jnp.maximum(ids_orig, 0).reshape(-1), axis=0)
+    if codes_grouped:
+        cand = jnp.take(codes, safe.reshape(-1), axis=0)
+    else:
+        cand = jnp.take(codes, jnp.maximum(ids_orig, 0).reshape(-1), axis=0)
     dec = onehot_decode(cand, codewords, dtype=jnp.float32,
                         precision=_PREC).reshape(qn, k_sel, -1)
     qsq = jnp.sum(q_all * q_all, axis=-1)

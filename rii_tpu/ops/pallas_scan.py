@@ -399,9 +399,25 @@ def _merge_packed_keys(queries, keys, topk, recall_target):
     materializing full-width (Q, nt) vmin/amin arrays.
 
     keys: (Q, nt) f32 packed (low 7 mantissa bits = in-tile lane).
+
+    Big-Q approx mode adds a MIN-8 PRE-REDUCE: 3 more mantissa bits (7..9)
+    carry the in-group column, one vectorized min folds 8 tile keys into
+    one group key, and approx_max_k runs over nt/8 columns — at Q=1024,
+    N=1M the cross-tile merge was ~40% of the end-to-end scan (ROADMAP 1b).
+    Candidate granularity coarsens to one per 1024 slots (~2^-13-relative
+    key precision) — inside the recall_target accuracy class, and disabled
+    in exact mode (recall_target=None).
     """
     qn, nt = keys.shape
     qsq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
+    pre8 = (recall_target is not None and qn >= _TN_MIN_Q
+            and nt >= 4096 and nt % 8 == 0 and topk <= nt // 8)
+    if pre8:
+        b = lax.bitcast_convert_type(keys, jnp.int32).reshape(qn, nt // 8, 8)
+        col = lax.broadcasted_iota(jnp.int32, (qn, nt // 8, 8), 2)
+        key2 = (b & jnp.int32(~0x3FF)) | (col << 7) | (b & jnp.int32(0x7F))
+        keys = jnp.min(lax.bitcast_convert_type(key2, jnp.float32), axis=2)
+        nt = nt // 8
     k_eff = min(topk, nt)
     if recall_target is None:
         neg, pos = lax.top_k(-keys, k_eff)
@@ -409,9 +425,14 @@ def _merge_packed_keys(queries, keys, topk, recall_target):
         neg, pos = lax.approx_max_k(-keys, k_eff, recall_target=recall_target)
     bits = lax.bitcast_convert_type(-neg, jnp.int32)  # (Q, k_eff) packed
     lane = bits & jnp.int32(0x7F)
-    vmin = lax.bitcast_convert_type(bits & jnp.int32(~0x7F), jnp.float32)
+    if pre8:
+        colw = (bits >> 7) & jnp.int32(0x7)
+        vmin = lax.bitcast_convert_type(bits & jnp.int32(~0x3FF), jnp.float32)
+        ids = (pos * 8 + colw) * _TILE + lane
+    else:
+        vmin = lax.bitcast_convert_type(bits & jnp.int32(~0x7F), jnp.float32)
+        ids = pos * _TILE + lane
     vmin = jnp.where(vmin >= jnp.float32(_PACK_RESTORE), jnp.inf, vmin)
-    ids = pos * _TILE + lane
     dists = vmin + qsq[:, None]
     if k_eff < topk:
         pad = topk - k_eff
@@ -839,15 +860,19 @@ def _ivf_window_kernel(flat_ref, dup_ref, *refs, cap_v, masked=False):
 
     dec_ref blocks are selected by the scalar-prefetched window id (see index
     maps in ivf_window_tile_minima); dup windows are masked +inf. Norms are
-    derived in kernel from the decoded rows (same contract as the multi-window
-    variant — callers exactly rescore the final top-k). Reporting two
-    candidates per tile means a true top-k entry is lost only when THREE of
-    them share one 8-slot tile — negligible at any k<=100.
+    derived in kernel from the decoded rows (callers exactly rescore the
+    final top-k with f32 norms). Reporting two candidates per tile means a
+    true top-k entry is lost only when THREE of them share one 8-slot tile —
+    negligible at any k<=100.
 
-    masked=True adds a per-slot f32 penalty stream (0 = keep, +inf = excluded)
-    selected by the same window id — the subset (target_ids) filter riding the
-    fast path (the TPU re-design of the reference's per-id binary_search,
-    /root/reference/src/rii.h:291-295).
+    masked=True adds a per-slot f32 penalty stream (0 = keep, +inf =
+    excluded) selected by the same window id — the subset (target_ids)
+    filter riding the fast path (the TPU re-design of the reference's per-id
+    binary_search, /root/reference/src/rii.h:291-295). A streamed-norms
+    variant was measured SLOWER end-to-end: the probe-order norm gather for
+    the multi-window kernel costs far more than the in-kernel square+reduce
+    (XLA row gathers degrade badly at thousands of rows), so the penalty
+    stream is gathered only when a subset mask is actually present.
     """
     if masked:
         dec_ref, pen_ref, qt_ref, min_ref, arg_ref = refs
@@ -880,14 +905,16 @@ def _ivf_window_multi_kernel(flat_ref, dup_ref, *refs, cap_v, wpb,
     up front (they fit VMEM easily), then each window is waited on and scored.
 
     Norms are computed IN KERNEL from the decoded rows (a 1-lane norms DMA is
-    not tileable on TPU): selection runs at bf16-norm precision and the caller
-    exactly rescores the final top-k with the f32 norms. Padding rows carry a
-    large sentinel value (models/ivf docstring) so their in-kernel norm
-    dominates any real score.
+    not tileable on TPU, and the alternative — pre-gathering a norms stream
+    into probe order — measured 2x SLOWER end-to-end at U=4096: XLA row
+    gathers degrade badly at thousands of rows): selection runs at bf16-norm
+    precision and the caller exactly rescores the final top-k with the f32
+    norms. Padding rows carry a large sentinel value (models/ivf docstring)
+    so their in-kernel norm dominates any real score.
 
     masked=True adds an AUTO-PIPELINED per-slot penalty stream (wpb*cap_v, 1)
-    f32, pre-gathered into probe order by the caller (manual DMAs cannot tile
-    1-lane slices; pipelined blocks can) — the subset filter on the fast path.
+    f32, pre-gathered into probe order by the caller — the subset filter on
+    the fast path; the gather is paid only when a subset mask is present.
     """
     if masked:
         dec_hbm, pen_ref, qt_ref, min_ref, arg_ref, dec_buf, sems = refs
@@ -1124,13 +1151,16 @@ def ivf_pq_window_tile_minima(queries, codes_g, cw_padded, flat, dup, vlen,
     return vmin_t.T, amin_t.T
 
 
-def _ivf_i8_window_kernel(flat_ref, dup_ref, *refs, cap_v, masked=False):
+def _ivf_i8_window_kernel(flat_ref, dup_ref, vlen_ref, *refs, cap_v,
+                          masked=False):
     """int8-window grid step: like _ivf_window_kernel but the grouped replica
     is per-column-quantized int8 — HALF the bf16 window traffic. The column
     scales are folded into the queries (quantized per query, alpha restores
     the cross term); norms are derived in kernel from the dequantized rows
     (int8-class selection — callers exactly rescore from the uint8 codes).
-    Padding rows carry the int8 sentinel 127 whose dequantized norm dominates.
+    Padding is masked GATHER-FREE by row index >= the scalar-prefetched
+    member count (vlen, same mechanism as the pq kernel); a subset mask
+    rides the optional pen stream.
     """
     if masked:
         dec_ref, pen_ref, scl_ref, q_ref, alpha_ref, min_ref, arg_ref = refs
@@ -1141,22 +1171,27 @@ def _ivf_i8_window_kernel(flat_ref, dup_ref, *refs, cap_v, masked=False):
     qn = q_ref.shape[1]
     win = flat_ref[u]
     pen = lax.select(dup_ref[u] != 0, jnp.float32(jnp.inf), jnp.float32(0.0))
+    vl = vlen_ref[u]
 
     dec = dec_ref[...]  # (cap_v, D) int8
     decf = dec.astype(jnp.float32) * scl_ref[...]  # (cap_v, D) dequantized
     nrm = jnp.sum(decf * decf, axis=1, keepdims=True)  # (cap_v, 1)
+    row_id = lax.broadcasted_iota(jnp.int32, (cap_v, 1), 0)
+    pad_pen = jnp.where(row_id < vl, 0.0, jnp.inf).astype(jnp.float32)
     cross = jnp.dot(dec, q_ref[...], preferred_element_type=jnp.int32)
-    scores = nrm - 2.0 * cross.astype(jnp.float32) * alpha_ref[...] + pen
+    scores = (nrm - 2.0 * cross.astype(jnp.float32) * alpha_ref[...]
+              + pen + pad_pen)
     if pen_ref is not None:
         scores = scores + pen_ref[...]
     _ivf_tile_top2(scores, win, cap_v, qn, min_ref, arg_ref)
 
 
-def _ivf_i8_window_multi_kernel(flat_ref, dup_ref, *refs, cap_v, wpb,
-                                masked=False):
+def _ivf_i8_window_multi_kernel(flat_ref, dup_ref, vlen_ref, *refs, cap_v,
+                                wpb, masked=False):
     """Multi-window int8 variant: WPB windows per grid step via manual async
     DMA (half the bf16 fetch bytes). See _ivf_window_multi_kernel for the
-    DMA scheme and _ivf_i8_window_kernel for the int8 math."""
+    DMA scheme and _ivf_i8_window_kernel for the int8 math + gather-free
+    vlen padding mask."""
     if masked:
         (dec_hbm, pen_ref, scl_ref, q_ref, alpha_ref, min_ref, arg_ref,
          dec_buf, sems) = refs
@@ -1182,12 +1217,15 @@ def _ivf_i8_window_multi_kernel(flat_ref, dup_ref, *refs, cap_v, wpb,
         win = flat_ref[g * wpb + j]
         pen = lax.select(dup_ref[g * wpb + j] != 0,
                          jnp.float32(jnp.inf), jnp.float32(0.0))
+        vl = vlen_ref[g * wpb + j]
         dec = dec_buf[j]  # (cap_v, D) int8
         decf = dec.astype(jnp.float32) * scl_ref[...]
         nrm = jnp.sum(decf * decf, axis=1, keepdims=True)
+        row_id = lax.broadcasted_iota(jnp.int32, (cap_v, 1), 0)
+        pad_pen = jnp.where(row_id < vl, 0.0, jnp.inf).astype(jnp.float32)
         cross = jnp.dot(dec, q_ref[...], preferred_element_type=jnp.int32)
         scores = (nrm - 2.0 * cross.astype(jnp.float32) * alpha_ref[...]
-                  + pen)
+                  + pen + pad_pen)
         if pen_ref is not None:
             scores = scores + pen_ref[j * cap_v:(j + 1) * cap_v, :]
         _ivf_tile_top2(scores, win, cap_v, qn, min_ref, arg_ref,
@@ -1196,10 +1234,12 @@ def _ivf_i8_window_multi_kernel(flat_ref, dup_ref, *refs, cap_v, wpb,
 
 @partial(jax.jit, static_argnames=("cap_v", "interpret"))
 def ivf_i8_window_tile_minima(queries, decoded_g_i8, col_scales, flat, dup,
-                              cap_v, interpret=False, pen=None):
+                              vlen, cap_v, interpret=False, pen=None):
     """Single-window int8 scan (auto-pipelined; the interpret/test path).
-    Same output contract as ivf_window_tile_minima (int8-class selection —
-    callers must exactly rescore)."""
+    vlen: (U,) int32 member count per PROBED window (padding masked by row
+    index — gather-free). pen: optional (total, 1) f32 grouped-slot subset
+    penalty. Same output contract as ivf_window_tile_minima (int8-class
+    selection — callers must exactly rescore)."""
     total, d = decoded_g_i8.shape
     qn = queries.shape[0]
     u = flat.shape[0]
@@ -1211,26 +1251,27 @@ def ivf_i8_window_tile_minima(queries, decoded_g_i8, col_scales, flat, dup,
     scales_row = col_scales[None, :].astype(jnp.float32)  # (1, D)
 
     masked = pen is not None
-    in_specs = [pl.BlockSpec((cap_v, d), lambda i, flat_, dup_: (flat_[i], 0))]
+    in_specs = [pl.BlockSpec((cap_v, d),
+                             lambda i, f_, d_, v_: (f_[i], 0))]
     if masked:
         in_specs.append(pl.BlockSpec((cap_v, 1),
-                                     lambda i, flat_, dup_: (flat_[i], 0)))
+                                     lambda i, f_, d_, v_: (f_[i], 0)))
     in_specs += [
-        pl.BlockSpec((1, d), lambda i, flat_, dup_: (0, 0)),
-        pl.BlockSpec((d, qn), lambda i, flat_, dup_: (0, 0)),
-        pl.BlockSpec((1, qn), lambda i, flat_, dup_: (0, 0)),
+        pl.BlockSpec((1, d), lambda i, f_, d_, v_: (0, 0)),
+        pl.BlockSpec((d, qn), lambda i, f_, d_, v_: (0, 0)),
+        pl.BlockSpec((1, qn), lambda i, f_, d_, v_: (0, 0)),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(u,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((2 * ntiles, qn), lambda i, flat_, dup_: (i, 0)),
-            pl.BlockSpec((2 * ntiles, qn), lambda i, flat_, dup_: (i, 0)),
+            pl.BlockSpec((2 * ntiles, qn), lambda i, f_, d_, v_: (i, 0)),
+            pl.BlockSpec((2 * ntiles, qn), lambda i, f_, d_, v_: (i, 0)),
         ],
     )
     kernel = partial(_ivf_i8_window_kernel, cap_v=cap_v, masked=masked)
-    args = (flat, dup, decoded_g_i8) + ((pen,) if masked else ()) + (
+    args = (flat, dup, vlen, decoded_g_i8) + ((pen,) if masked else ()) + (
         scales_row, qt, alpha)
     vmin_t, amin_t = pl.pallas_call(
         kernel,
@@ -1246,10 +1287,11 @@ def ivf_i8_window_tile_minima(queries, decoded_g_i8, col_scales, flat, dup,
 
 @partial(jax.jit, static_argnames=("cap_v", "wpb"))
 def ivf_i8_window_tile_minima_multi(queries, decoded_g_i8, col_scales, flat,
-                                    dup, cap_v, wpb=16, pen=None):
+                                    dup, vlen, cap_v, wpb=16, pen=None):
     """Hardware int8-window fast path: WPB windows per grid step via manual
-    async DMA at HALF the bf16 fetch traffic. flat/dup padded to wpb multiple
-    (pad with dup=1); pen optional (U*cap_v, 1) probe-order subset penalty."""
+    async DMA at HALF the bf16 fetch traffic. flat/dup/vlen padded to a wpb
+    multiple (pad with dup=1); vlen masks padding gather-free; pen optional
+    (U*cap_v, 1) probe-order subset penalty."""
     total, d = decoded_g_i8.shape
     qn = queries.shape[0]
     u = flat.shape[0]
@@ -1264,19 +1306,21 @@ def ivf_i8_window_tile_minima_multi(queries, decoded_g_i8, col_scales, flat,
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # int8 windows in HBM
     if masked:
         in_specs.append(pl.BlockSpec((wpb * cap_v, 1),
-                                     lambda i, flat_, dup_: (i, 0)))
+                                     lambda i, f_, d_, v_: (i, 0)))
     in_specs += [
-        pl.BlockSpec((1, d), lambda i, flat_, dup_: (0, 0)),
-        pl.BlockSpec((d, qn), lambda i, flat_, dup_: (0, 0)),
-        pl.BlockSpec((1, qn), lambda i, flat_, dup_: (0, 0)),
+        pl.BlockSpec((1, d), lambda i, f_, d_, v_: (0, 0)),
+        pl.BlockSpec((d, qn), lambda i, f_, d_, v_: (0, 0)),
+        pl.BlockSpec((1, qn), lambda i, f_, d_, v_: (0, 0)),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(u // wpb,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((wpb * 2 * ntiles, qn), lambda i, flat_, dup_: (i, 0)),
-            pl.BlockSpec((wpb * 2 * ntiles, qn), lambda i, flat_, dup_: (i, 0)),
+            pl.BlockSpec((wpb * 2 * ntiles, qn),
+                         lambda i, f_, d_, v_: (i, 0)),
+            pl.BlockSpec((wpb * 2 * ntiles, qn),
+                         lambda i, f_, d_, v_: (i, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((wpb, cap_v, d), jnp.int8),
@@ -1285,7 +1329,7 @@ def ivf_i8_window_tile_minima_multi(queries, decoded_g_i8, col_scales, flat,
     )
     kernel = partial(_ivf_i8_window_multi_kernel, cap_v=cap_v, wpb=wpb,
                      masked=masked)
-    args = (flat, dup, decoded_g_i8) + ((pen,) if masked else ()) + (
+    args = (flat, dup, vlen, decoded_g_i8) + ((pen,) if masked else ()) + (
         scales_row, qt, alpha)
     vmin_t, amin_t = pl.pallas_call(
         kernel,

@@ -7,7 +7,8 @@ top-k, and the shards are merged with an all-gather + final top-k — collective
 ride ICI, overlapping with the next block's scan under XLA's scheduler.
 """
 
-from rii_tpu.parallel.mesh import make_mesh, put_sharded, shard_database
+from rii_tpu.parallel.mesh import (make_mesh, make_mesh_hc, put_sharded,
+                                   shard_database)
 from rii_tpu.parallel.sharded import (
     make_sharded_linear_scan,
     make_sharded_pqkmeans_step,
@@ -21,6 +22,7 @@ from rii_tpu.parallel.distributed import ShardedRii, init_distributed
 
 __all__ = [
     "make_mesh",
+    "make_mesh_hc",
     "put_sharded",
     "shard_database",
     "make_sharded_linear_scan",

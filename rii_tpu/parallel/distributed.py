@@ -75,16 +75,29 @@ class ShardedRii:
         engine: a built rii_tpu.Rii (N > 0). Mutations through :meth:`add` /
             :meth:`reconfigure` rebuild the device state; mutating the engine
             directly requires calling :meth:`refresh`.
-        mesh: 1-D mesh; defaults to all local devices.
-        use_decoded: keep sharded bf16 decoded replicas (None = follow the
-            engine's scan-mode policy). When False/unaffordable the IVF path
-            runs memory-lean over uint8 code windows.
+        mesh: 1-D ("data",) or 2-D ("hosts","chips") mesh (make_mesh_hc);
+            defaults to all local devices.
+        use_decoded: window/replica tier. True = bf16 decoded replicas;
+            "i8" = int8 virtual-bucket windows (half the bf16 bytes, exact
+            rescore from code windows) with a codes-based linear scan;
+            False = memory-lean uint8 code windows; None = follow the
+            engine's scan-mode policy.
+        overlap_chunks: linear-scan chunk count for collective/scan overlap.
     """
 
-    def __init__(self, engine, mesh=None, use_decoded=None):
+    def __init__(self, engine, mesh=None, use_decoded=None, overlap_chunks=4):
         self.engine = engine
         self.mesh = mesh or make_mesh()
-        self.ndev = self.mesh.shape[DATA_AXIS]
+        # 1-D ("data",) or 2-D ("hosts", "chips") meshes (make_mesh_hc):
+        # rows shard over ALL axes; the 2-D merge stages chip-axis (ICI)
+        # before host-axis (DCN)
+        self.axes = tuple(self.mesh.axis_names)
+        self.ndev = int(np.prod([self.mesh.shape[a] for a in self.axes]))
+        self._dim0 = self.axes if len(self.axes) > 1 else self.axes[0]
+        # linear-scan chunking: per-chunk stage-1 collectives issue as soon
+        # as each chunk's scan finishes, letting XLA overlap the gather of
+        # chunk c with the scan of chunk c+1 (BASELINE north star)
+        self.overlap_chunks = max(1, int(overlap_chunks))
         self._use_decoded_opt = use_decoded
         self.refresh()
 
@@ -106,9 +119,7 @@ class ShardedRii:
         n = len(codes)
         # accelerator + replica: shard capacity in 16384-row granules so the
         # transposed NN kernel's out-block constraint holds per shard
-        use_dec_opt = self._use_decoded_opt
-        if use_dec_opt is None:
-            use_dec_opt = True  # resolved properly below; granule is cheap
+        use_dec_opt = self._use_decoded_opt in (None, True)
         block = 16384 if (self._use_pallas() and use_dec_opt) else 1024
         cap = -(-max(n, 1) // (self.ndev * block)) * (self.ndev * block)
         codes_pad = np.zeros((cap, codes.shape[1]), np.uint8)
@@ -119,17 +130,22 @@ class ShardedRii:
         mesh = self.mesh
         self.cap = cap
         self.block = min(block, cap // self.ndev)
-        self.codes = put_sharded(mesh, codes_pad, P(DATA_AXIS, None))
-        self.norms = put_sharded(mesh, norms_pad, P(DATA_AXIS))
+        self.codes = put_sharded(mesh, codes_pad, P(self._dim0, None))
+        self.norms = put_sharded(mesh, norms_pad, P(self._dim0))
         self.codewords = put_sharded(mesh, cw, P())
 
         use_decoded = self._use_decoded_opt
         if use_decoded is None:
             use_decoded = engine._use_decoded_cache(cap)
+        if use_decoded == "i8":
+            use_decoded = False
+            win_mode = "i8"
+        else:
+            win_mode = "bf16" if use_decoded else "pq"
         self.decoded = None
         self.decoded_t = None
         self.norms_rep = None
-        sh = jax.sharding.NamedSharding(mesh, P(DATA_AXIS, None))
+        sh = jax.sharding.NamedSharding(mesh, P(self._dim0, None))
         if use_decoded:
             # decode under jit: sharding propagates row-wise, each device
             # decodes only its shard
@@ -140,8 +156,8 @@ class ShardedRii:
                 # accelerator: per-shard TRANSPOSED replica so each chip's
                 # scan rides the roofline kernel (ops/pallas_scan.py
                 # transposed-replica block comment)
-                sh_t = jax.sharding.NamedSharding(mesh, P(None, DATA_AXIS))
-                sh_r = jax.sharding.NamedSharding(mesh, P(None, DATA_AXIS))
+                sh_t = jax.sharding.NamedSharding(mesh, P(None, self._dim0))
+                sh_r = jax.sharding.NamedSharding(mesh, P(None, self._dim0))
                 self.decoded_t = jax.jit(jnp.transpose, out_shardings=sh_t)(
                     self.decoded)
                 self.norms_rep = jax.jit(
@@ -176,19 +192,19 @@ class ShardedRii:
             cnv = np.where(vreal >= 0,
                            cn[np.clip(vreal, 0, cn.shape[0] - 1)],
                            np.inf).astype(np.float32)
-            codes_g = put_sharded(mesh, ul["codes_grouped"], P(DATA_AXIS, None))
-            order_g = put_sharded(mesh, ul["order"], P(DATA_AXIS))
+            codes_g = put_sharded(mesh, ul["codes_grouped"], P(self._dim0, None))
+            order_g = put_sharded(mesh, ul["order"], P(self._dim0))
             self.ivf = {
-                "mode": "bf16" if use_decoded else "pq",
+                "mode": win_mode,
                 "cap_v": ul["cap_v"],
                 "nlist_v": ul["nlist_v"],
                 "nlist_v_pad": ul["nlist_v_pad"],
                 "order_g": order_g,
-                "norms_g": put_sharded(mesh, ul["norms_grouped"], P(DATA_AXIS)),
-                "centers_dec_v": put_sharded(mesh, cdv, P(DATA_AXIS, None)),
-                "centers_norms_v": put_sharded(mesh, cnv, P(DATA_AXIS)),
+                "norms_g": put_sharded(mesh, ul["norms_grouped"], P(self._dim0)),
+                "centers_dec_v": put_sharded(mesh, cdv, P(self._dim0, None)),
+                "centers_norms_v": put_sharded(mesh, cnv, P(self._dim0)),
             }
-            if use_decoded:
+            if win_mode == "bf16":
                 # padding rows get the large sentinel the Pallas window kernel
                 # needs (its norms are derived in kernel; see ops/pallas_scan)
                 def _dec_sentinel(cg, cw_, og):
@@ -197,9 +213,32 @@ class ShardedRii:
 
                 self.ivf["decoded_g"] = jax.jit(_dec_sentinel, out_shardings=sh)(
                     codes_g, self.codewords, order_g)
+            elif win_mode == "i8":
+                # int8 windows (half the bf16 DMA bytes) + uint8 code windows
+                # for the exact rescore. Column scales derive from the
+                # CODEWORDS (decoded values are codebook entries, so the
+                # per-column max |codeword| bounds every row exactly) — no
+                # cross-shard collective needed to agree on scales.
+                col_scales = np.maximum(
+                    np.abs(cw).max(axis=1).reshape(-1), 1e-30) / 127.0
+                scales_repl = put_sharded(mesh, col_scales.astype(np.float32),
+                                          P())
+
+                def _quant(cg, cw_, scl):
+                    dec = build_decoded_cache(cg, cw_, block=ul["cap_v"])
+                    q = jnp.round(dec.astype(jnp.float32) / scl[None, :])
+                    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+                self.ivf["decoded_g_i8"] = jax.jit(
+                    _quant, out_shardings=sh)(codes_g, self.codewords,
+                                              scales_repl)
+                self.ivf["i8_scales"] = scales_repl
+                self.ivf["codes_g"] = codes_g
+                self.ivf["vlen_g"] = put_sharded(mesh, ul["vlen"],
+                                                 P(self._dim0))
             else:
                 self.ivf["codes_g"] = codes_g
-                self.ivf["vlen_g"] = put_sharded(mesh, ul["vlen"], P(DATA_AXIS))
+                self.ivf["vlen_g"] = put_sharded(mesh, ul["vlen"], P(self._dim0))
                 if self._use_pallas():
                     from rii_tpu.ops.pallas_scan import build_padded_codewords
                     self.ivf["cw_padded"] = put_sharded(
@@ -256,6 +295,14 @@ class ShardedRii:
         tp[:s] = tids
         return jnp.asarray(tp), jnp.int32(s), s
 
+    def _axis_index(self):
+        """Linearized shard index over the mesh's (possibly 2-D) row axes."""
+        if len(self.axes) == 1:
+            return lax.axis_index(self.axes[0])
+        nchips = self.mesh.shape[self.axes[1]]
+        return lax.axis_index(self.axes[0]) * nchips + lax.axis_index(
+            self.axes[1])
+
     def _scan_fn(self, topk, s_pad):
         use_t = self.decoded_t is not None
         key = (topk, self.decoded is not None, use_t, s_pad)
@@ -266,46 +313,82 @@ class ShardedRii:
         rt = self.topk_recall
         use_dec = self.decoded is not None
         has_tids = s_pad is not None
+        axes = self.axes
+        two_level = len(axes) == 2
 
-        def _local(queries, codes_l, norms_l, codewords, dec_l, tids, nt):
-            my = lax.axis_index(DATA_AXIS)
-            member = None
-            if has_tids:
-                # subset filter: membership of this shard's GLOBAL row ids in
-                # the replicated sorted target set (the searchsorted
-                # re-design of src/rii.h:218-228's binary_search)
-                gid_l = my * shard_cap + jnp.arange(shard_cap, dtype=jnp.int32)
-                member = _searchsorted_member(tids, nt, gid_l)
-                norms_l = jnp.where(member, norms_l, jnp.inf)
-            if use_t:
-                from rii_tpu.ops.pallas_scan import replica_scan_topk_t
-                nr_l = jnp.broadcast_to(norms_l[None, :], (8, shard_cap))
-                d_l, i_l = replica_scan_topk_t(
-                    queries, dec_l, nr_l, topk=topk, recall_target=rt)
-            elif use_dec:
-                d_l, i_l = linear_scan_topk_decoded(
-                    queries, dec_l, norms_l, topk=topk, block=blk,
-                    recall_target=rt)
-            else:
-                d_l, i_l = linear_scan_topk(
-                    queries, codes_l, norms_l, codewords, topk=topk, block=blk,
-                    recall_target=rt)
-            gids = jnp.where(i_l >= 0, i_l + my * shard_cap, -1)
-            d_all = lax.all_gather(d_l, DATA_AXIS)  # (ndev, Q, k)
-            g_all = lax.all_gather(gids, DATA_AXIS)
-            qn = queries.shape[0]
-            d_flat = jnp.swapaxes(d_all, 0, 1).reshape(qn, self.ndev * topk)
-            g_flat = jnp.swapaxes(g_all, 0, 1).reshape(qn, self.ndev * topk)
-            neg, pos = lax.top_k(-d_flat, topk)
+        # chunking for collective/scan overlap: per-chunk caps must keep the
+        # transposed NN kernel's 16384-granule (or the XLA block granule)
+        gran = 16384 if use_t else min(blk, 1024)
+        nchunks = 1
+        for c in (self.overlap_chunks, 4, 2, 1):
+            if c >= 1 and shard_cap % (c * gran) == 0:
+                nchunks = c
+                break
+        ck = shard_cap // nchunks
+
+        def _merge_rows(d_flat, g_flat, k):
+            neg, pos = lax.top_k(-d_flat, k)
             ids = jnp.take_along_axis(g_flat, pos, axis=1)
             ids = jnp.where(jnp.isfinite(-neg), ids, -1)
             return -neg, ids
 
-        dec_spec = P(None, DATA_AXIS) if use_t else P(DATA_AXIS, None)
+        def _local(queries, codes_l, norms_l, codewords, dec_l, tids, nt):
+            my = self._axis_index()
+            qn = queries.shape[0]
+            ax1 = axes[-1]  # stage-1 gather axis: chips (ICI) when 2-D
+            parts_d, parts_g = [], []
+            for c in range(nchunks):
+                lo = c * ck
+                norms_c = lax.slice_in_dim(norms_l, lo, lo + ck)
+                if has_tids:
+                    # subset filter: membership of this chunk's GLOBAL row
+                    # ids in the replicated sorted target set (the
+                    # searchsorted re-design of src/rii.h:218-228)
+                    gid_c = (my * shard_cap + lo
+                             + jnp.arange(ck, dtype=jnp.int32))
+                    member = _searchsorted_member(tids, nt, gid_c)
+                    norms_c = jnp.where(member, norms_c, jnp.inf)
+                if use_t:
+                    from rii_tpu.ops.pallas_scan import replica_scan_topk_t
+                    nr_c = jnp.broadcast_to(norms_c[None, :], (8, ck))
+                    d_c, i_c = replica_scan_topk_t(
+                        queries, lax.slice_in_dim(dec_l, lo, lo + ck, axis=1),
+                        nr_c, topk=topk, recall_target=rt)
+                elif use_dec:
+                    d_c, i_c = linear_scan_topk_decoded(
+                        queries, lax.slice_in_dim(dec_l, lo, lo + ck),
+                        norms_c, topk=topk, block=min(blk, ck),
+                        recall_target=rt)
+                else:
+                    d_c, i_c = linear_scan_topk(
+                        queries, lax.slice_in_dim(codes_l, lo, lo + ck),
+                        norms_c, codewords, topk=topk, block=min(blk, ck),
+                        recall_target=rt)
+                g_c = jnp.where(i_c >= 0, i_c + my * shard_cap + lo, -1)
+                # stage-1 collective issued per chunk: independent of chunk
+                # c+1's scan, so XLA's scheduler overlaps them (rides ICI on
+                # a 2-D mesh)
+                d_all = lax.all_gather(d_c, ax1)  # (n1, Q, k)
+                g_all = lax.all_gather(g_c, ax1)
+                parts_d.append(jnp.swapaxes(d_all, 0, 1).reshape(qn, -1))
+                parts_g.append(jnp.swapaxes(g_all, 0, 1).reshape(qn, -1))
+            d1, i1 = _merge_rows(jnp.concatenate(parts_d, axis=1),
+                                 jnp.concatenate(parts_g, axis=1), topk)
+            if two_level:
+                # stage 2: the cross-host (DCN) hop carries only the
+                # chip-stage winners — nhosts*topk rows per query
+                d_all = lax.all_gather(d1, axes[0])  # (nhosts, Q, k)
+                g_all = lax.all_gather(i1, axes[0])
+                d1, i1 = _merge_rows(
+                    jnp.swapaxes(d_all, 0, 1).reshape(qn, -1),
+                    jnp.swapaxes(g_all, 0, 1).reshape(qn, -1), topk)
+            return d1, i1
+
+        dec_spec = P(None, self._dim0) if use_t else P(self._dim0, None)
         fn = jax.jit(shard_map(
             _local,
             mesh=self.mesh,
-            in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS), P(),
+            in_specs=(P(), P(self._dim0, None), P(self._dim0), P(),
                       dec_spec, P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
@@ -328,8 +411,8 @@ class ShardedRii:
         # masks ride them as the per-slot penalty stream (ops/pallas_scan.py)
         use_pallas = self._use_pallas()
 
-        def _local(queries, store_l, norms_l, order_l, cdec_l, cnorm_l,
-                   vlen_l, cwp, codewords, tids, nt):
+        def _local(queries, store_l, aux_l, scl, norms_l, order_l, cdec_l,
+                   cnorm_l, vlen_l, cwp, codewords, tids, nt):
             # DETERMINISTIC global probe selection: every shard scores its
             # local virtual centers, the scores are all-gathered, and each
             # query's GLOBAL top-wv window ids are computed identically on
@@ -338,13 +421,13 @@ class ShardedRii:
             # candidate set therefore covers the single-chip engine's probe
             # set even under adversarial probe concentration on one shard
             # (reference probe-order semantics: src/rii.h:279-310).
-            my = lax.axis_index(DATA_AXIS)
+            my = self._axis_index()
             qn = queries.shape[0]
             q16 = queries.astype(jnp.bfloat16)
             cs_l = cnorm_l[None, :] - 2.0 * jnp.dot(
                 q16, cdec_l.T.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)  # (Q, nv_l)
-            cs_all = lax.all_gather(cs_l, DATA_AXIS)  # (ndev, Q, nv_l)
+            cs_all = lax.all_gather(cs_l, self.axes)  # (ndev, Q, nv_l)
             gscore = jnp.swapaxes(cs_all, 0, 1).reshape(qn, self.ndev * nv_l)
             w_eff = min(wv, self.ndev * nv_l)
             _, probe = lax.top_k(-gscore, w_eff)  # (Q, w_eff) GLOBAL ids
@@ -379,6 +462,15 @@ class ShardedRii:
                     w=min(wv, nv_l), topk=topk, cap_u=cap_v,
                     nlist_pad=nv_l, target_mask=tm, recall_target=rt,
                     use_pallas=use_pallas, probes=(flat_l, dup_l))
+            elif mode == "i8":
+                from rii_tpu.ops.ivf import ivf_union_scan_topk_i8
+                d_l, i_l = ivf_union_scan_topk_i8(
+                    queries, store_l, scl, norms_l, order_l, aux_l,
+                    codewords, cdec_l, cnorm_l, w=min(wv, nv_l), topk=topk,
+                    cap_u=cap_v, nlist_pad=nv_l, vlen=vlen_l,
+                    target_mask=tm, recall_target=rt,
+                    interpret=not use_pallas, probes=(flat_l, dup_l),
+                    codes_grouped=True)
             else:
                 d_l, i_l = ivf_union_scan_topk_pq(
                     queries, store_l, norms_l, order_l, codewords,
@@ -386,21 +478,31 @@ class ShardedRii:
                     cap_u=cap_v, nlist_pad=nv_l, target_mask=tm,
                     recall_target=rt, vlen=vlen_l, cw_padded=cwp,
                     use_pallas=use_pallas, probes=(flat_l, dup_l))
-            d_all = lax.all_gather(d_l, DATA_AXIS)  # (ndev, Q, k)
-            g_all = lax.all_gather(i_l, DATA_AXIS)
             qn = queries.shape[0]
-            d_flat = jnp.swapaxes(d_all, 0, 1).reshape(qn, self.ndev * topk)
-            g_flat = jnp.swapaxes(g_all, 0, 1).reshape(qn, self.ndev * topk)
+            # staged merge: chip-axis (ICI) winners first, then the host hop
+            d_all = lax.all_gather(d_l, self.axes[-1])  # (n1, Q, k)
+            g_all = lax.all_gather(i_l, self.axes[-1])
+            d_flat = jnp.swapaxes(d_all, 0, 1).reshape(qn, -1)
+            g_flat = jnp.swapaxes(g_all, 0, 1).reshape(qn, -1)
             neg, pos = lax.top_k(-d_flat, topk)
             ids = jnp.take_along_axis(g_flat, pos, axis=1)
             ids = jnp.where(jnp.isfinite(-neg), ids, -1)
+            if len(self.axes) == 2:
+                d_all = lax.all_gather(-neg, self.axes[0])  # (nhosts, Q, k)
+                g_all = lax.all_gather(ids, self.axes[0])
+                d_flat = jnp.swapaxes(d_all, 0, 1).reshape(qn, -1)
+                g_flat = jnp.swapaxes(g_all, 0, 1).reshape(qn, -1)
+                neg, pos = lax.top_k(-d_flat, topk)
+                ids = jnp.take_along_axis(g_flat, pos, axis=1)
+                ids = jnp.where(jnp.isfinite(-neg), ids, -1)
             return -neg, ids
 
         fn = jax.jit(shard_map(
             _local,
             mesh=self.mesh,
-            in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
-                      P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
+            in_specs=(P(), P(self._dim0, None), P(self._dim0, None), P(),
+                      P(self._dim0), P(self._dim0),
+                      P(self._dim0, None), P(self._dim0), P(self._dim0),
                       P(), P(), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
@@ -465,14 +567,17 @@ class ShardedRii:
                 [queries, np.broadcast_to(queries[:1], (qpad - qn,
                                                         queries.shape[1]))])
         zero = jnp.zeros((), jnp.int32)
-        store = iv["decoded_g"] if iv["mode"] == "bf16" else iv["codes_g"]
+        store = {"bf16": iv.get("decoded_g"), "i8": iv.get("decoded_g_i8"),
+                 "pq": iv.get("codes_g")}[iv["mode"]]
+        aux = iv.get("codes_g", store)  # grouped codes (i8 rescore) or dummy
+        scl = iv.get("i8_scales", self.codewords)  # placeholder replicated
         vlen = iv.get("vlen_g", iv["centers_norms_v"])  # placeholder sharded
         cwp = iv.get("cw_padded", self.codewords)  # placeholder replicated
         s_pad = None if tids is None else int(tids.shape[0])
         d, i = self._ivf_fn(topk, wv, s_pad)(
-            jnp.asarray(queries), store, iv["norms_g"], iv["order_g"],
-            iv["centers_dec_v"], iv["centers_norms_v"], vlen, cwp,
-            self.codewords,
+            jnp.asarray(queries), store, aux, scl, iv["norms_g"],
+            iv["order_g"], iv["centers_dec_v"], iv["centers_norms_v"], vlen,
+            cwp, self.codewords,
             tids if tids is not None else zero,
             nt if nt is not None else zero)
         return (np.asarray(i)[:qn].astype(np.int64),

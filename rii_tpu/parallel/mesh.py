@@ -6,6 +6,8 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+HOST_AXIS = "hosts"
+CHIP_AXIS = "chips"
 
 
 def make_mesh(n_devices=None, axis_name=DATA_AXIS):
@@ -14,6 +16,27 @@ def make_mesh(n_devices=None, axis_name=DATA_AXIS):
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis_name,))
+
+
+def make_mesh_hc(n_hosts=None, n_chips=None):
+    """2-D ("hosts", "chips") mesh: the chip axis rides ICI (intra-host /
+    intra-slice), the host axis rides DCN. ShardedRii shards database rows
+    over BOTH axes and stages its top-k merge chip-axis-first so the
+    cross-host hop carries nhosts*topk rows instead of ndev*topk
+    (SURVEY.md section 2.5 / BASELINE north star).
+
+    Defaults: n_hosts = jax.process_count(), n_chips = devices per host.
+    jax.devices() orders devices process-major, so row h of the mesh is
+    exactly host h's local devices.
+    """
+    devs = jax.devices()
+    if n_hosts is None:
+        n_hosts = max(1, jax.process_count())
+    if n_chips is None:
+        n_chips = len(devs) // n_hosts
+    assert n_hosts * n_chips <= len(devs), (n_hosts, n_chips, len(devs))
+    arr = np.asarray(devs[: n_hosts * n_chips]).reshape(n_hosts, n_chips)
+    return Mesh(arr, (HOST_AXIS, CHIP_AXIS))
 
 
 def put_sharded(mesh, arr, spec):

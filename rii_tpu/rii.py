@@ -696,7 +696,7 @@ class Rii:
                     dc["order_g"], dc["codes_flat"], dc["codewords"],
                     dc["centers_dec_v"], dc["centers_norms_v"], w=wv,
                     topk=topk, cap_u=dc["cap_v"], nlist_pad=dc["nlist_v_pad"],
-                    target_mask=tm, recall_target=rt,
+                    vlen=dc.get("vlen_g"), target_mask=tm, recall_target=rt,
                     interpret=self._interp())
             else:
                 # memory-lean: uint8 code windows, decoded in-flight (in VMEM
@@ -1013,9 +1013,10 @@ class Rii:
                                             % 2048 == 0 else ul["cap_v"])
                 dec_i8, dc["i8_scales_g"] = quantize_replica_i8(dec_g)
                 del dec_g
-                # padding is masked by the penalty stream (derived from the
-                # +inf grouped norms inside ivf_union_scan_topk_i8)
+                # padding is masked gather-free via the per-window member
+                # counts (scalar-prefetched vlen, as in the pq kernel)
                 dc["decoded_g_i8"] = dec_i8
+                dc["vlen_g"] = jnp.asarray(ul["vlen"])
             else:
                 dc["codes_g"] = jnp.asarray(ul["codes_grouped"])
                 dc["vlen_g"] = jnp.asarray(ul["vlen"])

@@ -292,12 +292,15 @@ def test_sharded_ivf_narrow_budget_on_skewed_layout():
     assert recall >= 0.8, recall
 
 
-def test_sharded_ivf_deterministic_coverage_adversarial_concentration():
+@pytest.mark.parametrize("tier", [True, "i8"])
+def test_sharded_ivf_deterministic_coverage_adversarial_concentration(tier):
     """Round-3 fix for VERDICT weak item 3: ALL hot windows on one/two shards.
     The deterministic global-probe selection (all-gathered center scores ->
     global top-wv -> owned-window scan) must cover the single-chip probe set,
     so a narrow-budget IVF query whose true top-k lives entirely inside the
-    hot cluster returns the exact linear top-k distances."""
+    hot cluster returns the exact linear top-k distances. Parametrized over
+    the bf16 and int8 window tiers (both genuinely ride the window path at
+    this shape -- the linear fallback is asserted inactive)."""
     rng = np.random.RandomState(41)
     d = 32
     # one dominant cluster near the origin + many far small clusters: the hot
@@ -316,7 +319,7 @@ def test_sharded_ivf_deterministic_coverage_adversarial_concentration():
     e.scan_mode = "bf16"
     e.topk_recall = None  # exact selection
     e.add_configure(X, nlist=100, iter=5)
-    sr = ShardedRii(e, use_decoded=True)
+    sr = ShardedRii(e, use_decoded=tier)
 
     q = np.ascontiguousarray(hot[rng.choice(2000, 8, replace=False)])
     ids_lin, d_lin = sr.query_batch(q, topk=10)          # exact scan
@@ -330,3 +333,83 @@ def test_sharded_ivf_deterministic_coverage_adversarial_concentration():
     # equality of the distance rows proves full coverage of the hot windows
     np.testing.assert_allclose(d_ivf, d_lin, rtol=2e-3, atol=1e-3)
     assert (ids_ivf[:, 0] == ids_lin[:, 0]).all()
+
+
+def test_sharded_2d_hosts_chips_mesh_matches_engine():
+    """make_mesh_hc: rows shard over (hosts, chips); the merge stages the
+    chip axis (ICI) before the host axis (DCN). Results must match the
+    single-chip engine exactly (linear, subset, and full-coverage IVF)."""
+    from rii_tpu.parallel import make_mesh_hc
+    e, X = _engine(n=4000)
+    mesh = make_mesh_hc(n_hosts=2, n_chips=4)
+    assert mesh.axis_names == ("hosts", "chips")
+    s = ShardedRii(e, mesh=mesh)
+    assert s.ndev == 8
+
+    q = X[:16]
+    ids_s, d_s = s.query_batch(q, topk=7)
+    ids_e, d_e = e.query_batch(q, topk=7, method="linear")
+    np.testing.assert_allclose(d_s, d_e, rtol=1e-3, atol=1e-3)
+    assert (ids_s == ids_e).mean() > 0.97  # ties only
+
+    tids = np.sort(np.random.RandomState(3).choice(
+        e.N, 900, replace=False)).astype(np.int64)
+    ids_t, d_t = s.query_batch(q, topk=5, target_ids=tids)
+    ids_te, d_te = e.query_batch(q, topk=5, target_ids=tids, method="linear")
+    np.testing.assert_allclose(d_t, d_te, rtol=1e-3, atol=1e-3)
+    for row in ids_t:
+        assert set(row[row >= 0].tolist()) <= set(tids.tolist())
+
+    ids_i, d_i = s.query_ivf_batch(q[:8], topk=5, L=e.N)
+    np.testing.assert_allclose(d_i, d_e[:8, :5], rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_overlap_chunks_identical_results():
+    """The chunked scan (per-chunk stage-1 collectives for overlap) must be
+    result-identical to the unchunked scan."""
+    rng = np.random.RandomState(17)
+    X = rng.random((30000, 32)).astype(np.float32)
+    e = Rii(fine_quantizer=PQ(M=4, Ks=32).fit(X[:2000]))
+    e.topk_recall = None  # exact selection -> bit-comparable
+    e.add_configure(X, nlist=64)
+    s4 = ShardedRii(e, overlap_chunks=4)
+    s1 = ShardedRii(e, overlap_chunks=1)
+    # shard_cap 3840000/...: assert the chunking actually engaged
+    shard_cap = s4.cap // s4.ndev
+    assert shard_cap % (4 * 1024) == 0, shard_cap
+    q = X[:8]
+    ids4, d4 = s4.query_batch(q, topk=10)
+    ids1, d1 = s1.query_batch(q, topk=10)
+    np.testing.assert_array_equal(ids4, ids1)
+    np.testing.assert_allclose(d4, d1, rtol=0, atol=0)
+    ids_e, d_e = e.query_batch(q, topk=10, method="linear")
+    np.testing.assert_allclose(d4, d_e, rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_i8_window_mode_matches_linear_at_full_coverage():
+    """use_decoded='i8': int8 virtual-bucket windows + code-window exact
+    rescore; full-coverage IVF must reproduce the exact linear scan."""
+    rng = np.random.RandomState(19)
+    n, d = 4096, 32
+    X = rng.random((n, d)).astype(np.float32)
+    pq = PQ(M=4, Ks=32).fit(X[:1024], iter=3)
+    e = Rii(pq)
+    e.scan_mode = "pq"
+    e.topk_recall = None  # exact selection on CPU
+    e.add_configure(X, nlist=48, iter=3)
+    sr = ShardedRii(e, use_decoded="i8")
+    assert sr.ivf is not None and sr.ivf["mode"] == "i8"
+    assert "decoded_g_i8" in sr.ivf and "codes_g" in sr.ivf
+
+    ids_l, d_l = sr.query_batch(X[:8], topk=10)
+    ids_i, d_i = sr.query_ivf_batch(X[:8], topk=10, L=e.N)
+    for a, b in zip(ids_l, ids_i):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(np.sort(d_i, 1), np.sort(d_l, 1), rtol=1e-3)
+
+    # subset through the i8 windows
+    tids = np.sort(rng.choice(n, 500, replace=False)).astype(np.int64)
+    ids_s, d_s = sr.query_ivf_batch(X[:8], topk=5, L=e.N, target_ids=tids)
+    ids_sl, d_sl = sr.query_batch(X[:8], topk=5, target_ids=tids)
+    for a, b in zip(ids_s, ids_sl):
+        assert set(a.tolist()) == set(b.tolist())

@@ -236,3 +236,36 @@ def test_padded_codewords_decode_identity():
         dec += cwp[mm, codes[0, mm]]
     expect = pq.codewords[np.arange(m), codes[0].astype(int)].reshape(-1)
     np.testing.assert_allclose(dec, expect, rtol=1e-2, atol=1e-2)  # bf16 table
+
+
+def test_merge_packed_keys_min8_prereduce_big_q():
+    """Big-Q merge: the min-8 pre-reduce (3 extra index bits) must return the
+    exact top-k when the true top-k occupy distinct 1024-slot groups, and the
+    packed id reconstruction (group, column, lane) must be exact."""
+    import jax.numpy as jnp
+    from jax import lax
+    from rii_tpu.ops.pallas_scan import _merge_packed_keys, _TILE
+
+    rng = np.random.RandomState(3)
+    qn, nt, topk = 512, 4096, 10  # nt>=4096 + qn>=512 triggers the pre-reduce
+    d = 4
+    queries = np.zeros((qn, d), np.float32)  # qsq = 0: dists == scores
+    scores = rng.uniform(1.0, 2.0, (qn, nt)).astype(np.float32)
+    lanes = rng.randint(0, _TILE, (qn, nt)).astype(np.int32)
+    # plant topk winners in DISTINCT groups of 8 tiles per query
+    want_ids, want_vals = [], []
+    for q in range(qn):
+        groups = rng.choice(nt // 8, topk, replace=False)
+        tiles = groups * 8 + rng.randint(0, 8, topk)
+        vals = np.sort(rng.uniform(0.0, 0.5, topk)).astype(np.float32)
+        scores[q, tiles] = vals
+        want_ids.append(tiles * _TILE + lanes[q, tiles])
+        want_vals.append(vals)
+    bits = scores.view(np.int32)
+    keys = ((bits & ~0x7F) | lanes).view(np.float32)
+    dists, ids = _merge_packed_keys(jnp.asarray(queries), jnp.asarray(keys),
+                                    topk, recall_target=0.99)
+    dists, ids = np.asarray(dists), np.asarray(ids)
+    for q in range(qn):
+        assert set(ids[q].tolist()) == set(np.asarray(want_ids[q]).tolist()), q
+        np.testing.assert_allclose(dists[q], want_vals[q], rtol=2e-4)
