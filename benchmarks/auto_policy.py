@@ -33,7 +33,8 @@ def main():
     Q = int(os.environ.get("BENCH_Q", 64))
     SLACK = 1.2
     D, M, Ks = 128, 32, 256
-    nlist = 1000 if N >= 500_000 else max(32, int(np.sqrt(N)))
+    nlist = int(os.environ.get(
+        "BENCH_NLIST", 1000 if N >= 500_000 else max(32, int(np.sqrt(N)))))
     log(f"N={N} Q={Q} nlist={nlist} backend={jax.default_backend()}")
 
     rng = np.random.RandomState(123)

@@ -23,6 +23,11 @@ def _enable_persistent_compile_cache():
     compile-bound on remote-compile backends: ~14s -> ~1s per kernel).
 
     Respects an existing user setting; disable with RII_TPU_NO_COMPILE_CACHE=1.
+
+    Scoped to accelerator backends: when the process has already pinned JAX to
+    CPU (e.g. the test suite's conftest), the cache is left off — CPU compiles
+    are local and fast, and reloading CPU AOT executables emits a noisy
+    machine-feature warning per kernel.
     """
     if _os.environ.get("RII_TPU_NO_COMPILE_CACHE"):
         return
@@ -31,6 +36,10 @@ def _enable_persistent_compile_cache():
 
         if getattr(jax.config, "jax_compilation_cache_dir", None):
             return  # user already configured one
+        platforms = getattr(jax.config, "jax_platforms", None)
+        if platforms and all(
+                p.strip() == "cpu" for p in platforms.split(",") if p.strip()):
+            return  # CPU-only process: skip the persistent cache
         cache = _os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             _os.path.join(_os.path.expanduser("~"), ".cache", "rii_tpu",
