@@ -105,13 +105,14 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
     if use_pallas:
         # fused kernel: windows streamed in place (no gather copy); per-8-slot
         # top-2 + approx cross-tile merge + EXACT f32 rescore of the final
-        # top-k. The (already subset-masked) f32 norms ride a streamed
-        # (cap_v, 1) channel — exact norms at selection, +inf carrying both
-        # padding and the subset filter (reference behavior:
-        # src/rii.h:291-295) — replacing the old in-kernel norm derivation
-        # (the kernel's largest VPU pass). On hardware, WPB windows per grid
-        # step via manual async DMA; interpret mode (CPU tests) uses the
-        # single-window auto-pipelined variant (same math).
+        # top-k. Norms are derived IN KERNEL from the decoded rows (bf16-class
+        # at selection; a streamed-norms variant measured 2x slower — see the
+        # kernel docstrings); only a 0/+inf PENALTY stream rides a (cap_v, 1)
+        # channel, carrying the subset filter (reference behavior:
+        # src/rii.h:291-295) and duplicate-window masking. The exact f32
+        # rescore below absorbs the selection precision. On hardware, WPB
+        # windows per grid step via manual async DMA; interpret mode (CPU
+        # tests) uses the single-window auto-pipelined variant (same math).
         from rii_tpu.ops.pallas_scan import (
             ivf_window_tile_minima,
             ivf_window_tile_minima_multi,

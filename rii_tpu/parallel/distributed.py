@@ -319,9 +319,11 @@ class ShardedRii:
         # chunking for collective/scan overlap: per-chunk caps must keep the
         # transposed NN kernel's 16384-granule (or the XLA block granule)
         gran = 16384 if use_t else min(blk, 1024)
+        # largest chunk count <= the requested one whose chunks keep the
+        # granule (never MORE chunks/collectives than asked for)
         nchunks = 1
-        for c in (self.overlap_chunks, 4, 2, 1):
-            if c >= 1 and shard_cap % (c * gran) == 0:
+        for c in range(max(1, int(self.overlap_chunks)), 0, -1):
+            if shard_cap % (c * gran) == 0:
                 nchunks = c
                 break
         ck = shard_cap // nchunks
@@ -446,11 +448,16 @@ class ShardedRii:
             u_budget = min(pf.shape[0], nv_l)
             if u_budget < pf.shape[0]:
                 # uniques-first stable compaction: every unique owned window
-                # (<= nv_l of them) survives the truncation
+                # (<= nv_l of them) survives the truncation. Re-sort the kept
+                # entries by (window, dup-last) — the window kernels' DMA-skip
+                # needs duplicates ADJACENT to their unique copy, and the
+                # uniques-first argsort interleaves them otherwise
                 keep = jnp.argsort(dup_all.astype(jnp.int32),
                                    stable=True)[:u_budget]
-                flat_l = flat_all[keep]
-                dup_l = dup_all[keep]
+                k2 = jnp.sort(flat_all[keep] * 2
+                              + dup_all[keep].astype(flat_all.dtype))
+                flat_l = k2 >> 1
+                dup_l = (k2 & 1) == 1
             else:
                 flat_l, dup_l = flat_all, dup_all
             tm = None

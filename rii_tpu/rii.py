@@ -13,6 +13,7 @@ mutates. Capacities grow in powers of two so the jit cache stays bounded.
 """
 
 import copy
+import threading
 import time
 from functools import partial
 
@@ -133,6 +134,10 @@ class Rii:
         self._version = 0
         self._codes_cache = None  # consolidated (N, M) uint8
         self._dc = None  # device cache dict
+        # serializes cold-cache builds: QueryServer's dispatcher pool calls
+        # query_batch concurrently, and two racing _ensure_cache builds would
+        # transiently double device memory and duplicate remote compiles
+        self._cache_lock = threading.Lock()
 
     # ------------------------------------------------------------------ #
     # properties (parity with /root/reference/rii/rii.py:40-121)
@@ -308,8 +313,11 @@ class Rii:
         no cache exists or capacity is exhausted (caller drops the cache)."""
         dc = self._dc
         k = codes.shape[0]
-        if dc is None or k == 0:
-            return dc is not None
+        if dc is None:
+            return False
+        if k == 0:  # empty add: cache contents are already correct
+            dc["version"] = self._version
+            return True
         if dc.get("n_dev") is None or n0 + k > dc["cap"]:
             return False
         update_ivf = bool((assign >= 0).any())
@@ -862,8 +870,16 @@ class Rii:
         return self._assign_chunks[0]
 
     def _ensure_cache(self):
-        if self._dc is not None and self._dc["version"] == self._version:
-            return self._dc
+        dc = self._dc
+        if dc is not None and dc["version"] == self._version:
+            return dc
+        with self._cache_lock:  # one thread builds; late arrivals reuse
+            dc = self._dc
+            if dc is not None and dc["version"] == self._version:
+                return dc
+            return self._build_cache()
+
+    def _build_cache(self):
         codes = self._consolidated_codes()
         cw = np.asarray(self.codewords, dtype=np.float32)
         norms = code_norms_np(cw, codes)
@@ -1079,11 +1095,13 @@ class Rii:
         self._assignments()
         state = self.__dict__.copy()
         state["_dc"] = None
+        state.pop("_cache_lock", None)  # locks do not pickle
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
         self._dc = None
+        self._cache_lock = threading.Lock()
 
 
 def estimate_best_threshold_function(e, queries):
@@ -1102,6 +1120,9 @@ def estimate_best_threshold_function(e, queries):
 
     def run(queries_, tids, L, method):
         qs = np.ascontiguousarray(np.atleast_2d(queries_), dtype=np.float32)
+        # the private batch entries expect codec-space (OPQ-rotated) queries,
+        # exactly as query()/query_batch() feed them in production
+        qs = np.ascontiguousarray(e.fine_quantizer.rotate(qs), dtype=np.float32)
         t0 = time.perf_counter()
         if method == "linear":
             e._query_linear_batch(qs, topk, tids)

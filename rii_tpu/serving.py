@@ -84,11 +84,16 @@ class QueryServer:
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.submit_timeout_s = submit_timeout_s
         self._q = queue.Queue(maxsize=int(max_queue))
-        self._dq = queue.Queue()  # formed groups -> dispatcher pool
+        self.dispatchers = max(1, int(dispatchers))
+        # formed groups -> dispatcher pool. BOUNDED so a slow device cannot
+        # hide the max_queue backpressure: once every dispatcher is busy and
+        # a couple of groups are staged, the former blocks on this put,
+        # requests pile up in the bounded _q, and submit() blocks/raises as
+        # documented.
+        self._dq = queue.Queue(maxsize=self.dispatchers * 2)
         self._held = None  # incompatible request deferred to the next group
         self._thread = None
         self._pool = []
-        self.dispatchers = max(1, int(dispatchers))
         self._running = False
         self._stopped = False
         self._submit_lock = threading.Lock()  # orders submit() vs stop()
@@ -248,7 +253,23 @@ class QueryServer:
             group = self._take_group()
             if group is None:
                 continue
-            self._dq.put(group)
+            placed = False
+            while True:  # bounded put: wake periodically to observe stop()
+                try:
+                    self._dq.put(group, timeout=0.05)
+                    placed = True
+                    break
+                except queue.Full:
+                    if not self._running:
+                        break
+            if not placed:  # stopped while staged: group is in no queue
+                for r in group:
+                    if not r.future.done():
+                        try:
+                            r.future.set_exception(
+                                RuntimeError("server stopped"))
+                        except Exception:
+                            pass
         if self._stopped:
             # former-side drain: catches requests pulled or parked in _held
             # after stop()'s drain already ran (long-dispatch race)

@@ -184,3 +184,23 @@ def test_incremental_add_pallas_cache_variants():
         ids, _ = e.query_batch(X2[:4], topk=3, method="linear")
         hits = np.mean([3000 + i in ids[i] for i in range(4)])
         assert hits >= 0.75, mode  # int8-class selection can swap near-ties
+
+
+def test_empty_add_keeps_cache():
+    """An empty add() must not invalidate the device cache: the incremental
+    path stamps the new version on the untouched cache instead of letting
+    the next query pay a full O(N) rebuild."""
+    rng = np.random.RandomState(31)
+    D = 32
+    X = rng.random((2000, D)).astype(np.float32)
+    pq = PQ(M=4, Ks=32).fit(X)
+    e = Rii(pq)
+    e.add_configure(X, nlist=30)
+    e.query_batch(X[:2], topk=3)  # build the cache
+    dc = e._dc
+    assert dc is not None
+    e.add(np.zeros((0, D), np.float32))
+    assert e._dc is dc and dc["version"] == e._version
+    ids, _ = e.query_batch(X[:2], topk=3)
+    assert e._dc is dc  # same object: no rebuild happened
+    assert ids[0, 0] == 0 and ids[1, 0] == 1

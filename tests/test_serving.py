@@ -217,3 +217,73 @@ def test_dispatcher_pool_subset_does_not_stall_stream(engine):
             assert np.isfinite(dists).all()
         st = srv.stats()
     assert st["served"] == 12
+
+
+class _SlowEngine:
+    """query_batch sleeps: models a device slower than the submit stream."""
+
+    def __init__(self, delay_s):
+        self.delay_s = delay_s
+
+    def query_batch(self, batch, topk=1, L=None, target_ids=None,
+                    method="auto"):
+        time.sleep(self.delay_s)
+        n = batch.shape[0]
+        return (np.zeros((n, topk), np.int64),
+                np.zeros((n, topk), np.float32))
+
+
+def test_backpressure_holds_under_slow_dispatch():
+    """A RUNNING server with a slow engine must still enforce max_queue: the
+    bounded formed-group staging queue stops the group-former from draining
+    submissions faster than dispatchers retire them (an unbounded staging
+    queue silently disabled the documented backpressure)."""
+    srv = QueryServer(_SlowEngine(0.3), max_batch=1, max_queue=2,
+                      max_wait_ms=0.0, submit_timeout_s=0.05, dispatchers=1)
+    srv.start()
+    q = np.zeros(8, np.float32)
+    try:
+        with pytest.raises(queue_mod.Full):
+            # in-flight ceiling is _q(2) + staged groups(2) + former/dispatch
+            # hands: far fewer than 32 submits can be absorbed in one drain
+            for _ in range(32):
+                srv.submit(q, topk=1)
+    finally:
+        srv.stop()
+
+
+def test_concurrent_cold_cache_builds_once(engine):
+    """The dispatcher pool calls query_batch concurrently; a cold device
+    cache must be built exactly once (racing builds would transiently double
+    device memory and duplicate compiles)."""
+    import types
+
+    e, X = engine
+    e._dc = None  # force a cold cache
+    calls = []
+    orig = type(e)._build_cache
+
+    def counted(self):
+        calls.append(threading.get_ident())
+        time.sleep(0.05)  # widen the race window
+        return orig(self)
+
+    e._build_cache = types.MethodType(counted, e)
+    try:
+        errs = []
+
+        def worker():
+            try:
+                e.query_batch(X[:4], topk=3, method="linear")
+            except Exception as ex:  # pragma: no cover
+                errs.append(ex)
+
+        ts = [threading.Thread(target=worker) for _ in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert not errs
+        assert len(calls) == 1, calls
+    finally:
+        del e.__dict__["_build_cache"]
