@@ -1122,7 +1122,9 @@ def estimate_best_threshold_function(e, queries):
         qs = np.ascontiguousarray(np.atleast_2d(queries_), dtype=np.float32)
         # the private batch entries expect codec-space (OPQ-rotated) queries,
         # exactly as query()/query_batch() feed them in production
-        qs = np.ascontiguousarray(e.fine_quantizer.rotate(qs), dtype=np.float32)
+        if isinstance(e.fine_quantizer, OPQ):
+            qs = np.ascontiguousarray(e.fine_quantizer.rotate(qs),
+                                      dtype=np.float32)
         t0 = time.perf_counter()
         if method == "linear":
             e._query_linear_batch(qs, topk, tids)

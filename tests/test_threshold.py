@@ -55,6 +55,18 @@ def test_timed_calibration_runs_and_fits():
     assert -e.N <= val <= 2 * e.N
 
 
+def test_timed_calibration_opq_rotates_probes():
+    # regression: calibration must work for BOTH codecs — plain PQ (no
+    # .rotate) and OPQ (probes must be rotated into codec space)
+    from rii_tpu import OPQ
+    X = np.random.RandomState(7).random((300, 32)).astype(np.float32)
+    e = Rii(fine_quantizer=OPQ(M=4, Ks=16).fit(X))
+    e.add_configure(X, nlist=8)
+    probes = e.fine_quantizer.decode(e.codes[:10])
+    p = estimate_best_threshold_function(e, probes)
+    assert isinstance(p, np.poly1d)
+
+
 def test_reconfigure_calibrate_flag():
     e, X = _engine(n=300)
     e.reconfigure(nlist=10, calibrate=True)
