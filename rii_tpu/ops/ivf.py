@@ -32,6 +32,23 @@ def _searchsorted_member(sorted_ids, n_valid, values):
     return (jnp.take(sorted_ids, pos) == values) & (pos < n_valid)
 
 
+def _probe_topk(cscores, w, recall_target):
+    """Probe selection: the w nearest (virtual) centers per query.
+
+    Exact lax.top_k in exact mode (recall_target=None — preserves the
+    provable probe-superset property, RECALL_PARITY.md), approx_max_k in the
+    default fast mode: measured ~2.7x cheaper at (Q=64, nlist_pad~4.9k, w=64)
+    and the merge stage is already approx in that mode, so the accuracy
+    class is unchanged. Falls back to exact when w is too large a fraction
+    of the row for the approx algorithm to pay off."""
+    n = cscores.shape[-1]
+    if recall_target is None or w * 8 > n:
+        _, probe = lax.top_k(-cscores, w)
+    else:
+        _, probe = lax.approx_max_k(-cscores, w, recall_target=recall_target)
+    return probe
+
+
 @partial(jax.jit, static_argnames=("w", "topk", "cap_u", "nlist_pad",
                                    "recall_target", "use_pallas", "interpret"))
 def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,

@@ -815,6 +815,15 @@ _IVF_TILE = 8  # slots per reported (min, argmin): finer than the full-scan
                # kernels' 128 because IVF candidates concentrate in few windows
 
 
+def _unpack_ivf_key(k):
+    """Packed 8-slot key -> (score f32 with +inf restored, in-tile lane)."""
+    b = lax.bitcast_convert_type(k, jnp.int32)
+    lane = b & jnp.int32(0x7)
+    v = lax.bitcast_convert_type(b & jnp.int32(~0x7), jnp.float32)
+    v = jnp.where(v >= jnp.float32(_PACK_RESTORE), jnp.inf, v)
+    return v, lane
+
+
 def _ivf_tile_top2(scores, win, cap_v, qn, min_ref, arg_ref, out_row=0):
     """Shared IVF epilogue: (cap_v, Q) scores -> per-8-slot TOP-2 stores.
 
@@ -838,15 +847,8 @@ def _ivf_tile_top2(scores, win, cap_v, qn, min_ref, arg_ref, out_row=0):
     masked = jnp.where(keyf == k1[:, None, :], jnp.inf, keyf)
     k2 = jnp.min(masked, axis=1)
 
-    def unpack(k):
-        b = lax.bitcast_convert_type(k, jnp.int32)
-        lane = b & jnp.int32(0x7)
-        v = lax.bitcast_convert_type(b & jnp.int32(~0x7), jnp.float32)
-        v = jnp.where(v >= jnp.float32(_PACK_RESTORE), jnp.inf, v)
-        return v, lane
-
-    v1, l1 = unpack(k1)
-    v2, l2 = unpack(k2)
+    v1, l1 = _unpack_ivf_key(k1)
+    v2, l2 = _unpack_ivf_key(k2)
     base = win * cap_v + lax.broadcasted_iota(
         jnp.int32, (ntiles, qn), 0) * _IVF_TILE
     min_ref[out_row:out_row + ntiles, :] = v1
@@ -931,23 +933,36 @@ def _ivf_window_multi_kernel(flat_ref, dup_ref, *refs, cap_v, wpb,
             dec_hbm.at[pl.ds(win * cap_v, cap_v), :], dec_buf.at[j],
             sems.at[j])
 
-    for j in range(wpb):  # static unroll: issue all fetches up front
-        dec_copy(j).start()
+    for j in range(wpb):  # static unroll: fetch only first-occurrence windows
+        @pl.when(dup_ref[g * wpb + j] == 0)
+        def _start(j=j):
+            dec_copy(j).start()
 
     for j in range(wpb):  # static unroll: wait + score in arrival order
-        dec_copy(j).wait()
-        win = flat_ref[g * wpb + j]
-        pen = lax.select(dup_ref[g * wpb + j] != 0,
-                         jnp.float32(jnp.inf), jnp.float32(0.0))
-        dec = dec_buf[j]  # (cap_v, D) bf16
-        decf = dec.astype(jnp.float32)
-        nrm = jnp.sum(decf * decf, axis=1, keepdims=True)  # (cap_v, 1)
-        cross = jnp.dot(dec, qt_ref[...], preferred_element_type=jnp.float32)
-        scores = nrm - 2.0 * cross + pen  # (cap_v, Q)
-        if pen_ref is not None:
-            scores = scores + pen_ref[j * cap_v:(j + 1) * cap_v, :]
-        _ivf_tile_top2(scores, win, cap_v, qn, min_ref, arg_ref,
-                       out_row=j * 2 * ntiles)
+        @pl.when(dup_ref[g * wpb + j] == 0)
+        def _score(j=j):
+            dec_copy(j).wait()
+            win = flat_ref[g * wpb + j]
+            dec = dec_buf[j]  # (cap_v, D) bf16
+            decf = dec.astype(jnp.float32)
+            nrm = jnp.sum(decf * decf, axis=1, keepdims=True)  # (cap_v, 1)
+            cross = jnp.dot(dec, qt_ref[...],
+                            preferred_element_type=jnp.float32)
+            scores = nrm - 2.0 * cross  # (cap_v, Q)
+            if pen_ref is not None:
+                scores = scores + pen_ref[j * cap_v:(j + 1) * cap_v, :]
+            _ivf_tile_top2(scores, win, cap_v, qn, min_ref, arg_ref,
+                           out_row=j * 2 * ntiles)
+
+        @pl.when(dup_ref[g * wpb + j] != 0)
+        def _dup(j=j):
+            # duplicate union entry: nothing fetched or scored — at Q=64 on
+            # the BENCH config ~1/3 of the sorted union are duplicates, which
+            # the unguarded kernel re-fetched and scored into +inf
+            min_ref[j * 2 * ntiles:(j + 1) * 2 * ntiles, :] = jnp.full(
+                (2 * ntiles, qn), jnp.inf, jnp.float32)
+            arg_ref[j * 2 * ntiles:(j + 1) * 2 * ntiles, :] = jnp.zeros(
+                (2 * ntiles, qn), jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("cap_v", "wpb"))
@@ -957,6 +972,14 @@ def ivf_window_tile_minima_multi(queries, decoded_g, flat, dup,
     grid step via manual async DMA. flat/dup must be padded to a multiple of
     wpb (pad windows with dup=1). Norms are derived in kernel (bf16-class) —
     callers must exactly rescore the returned candidates.
+
+    Duplicate union entries (dup=1) SKIP the fetch and the score — their
+    output rows are stored +inf directly. At Q=64/wv=64 on the BENCH config
+    ~1/3 of the sorted union are duplicates (birthday collisions of Q*wv
+    draws on ~4.6k windows): measured 21.5 -> 15.4 us/query. A batched-
+    epilogue variant (VMEM score staging + one top-2 pass over all WPB
+    windows) measured uniformly SLOWER (benchmarks/ivf_kernel_ab.py) and
+    was removed.
 
     pen: optional (U*cap_v, 1) f32 penalty stream in PROBE order (slot j of
     window flat[i] at row i*cap_v+j; 0 = keep, +inf = excluded) — the subset
@@ -1209,27 +1232,38 @@ def _ivf_i8_window_multi_kernel(flat_ref, dup_ref, vlen_ref, *refs, cap_v,
             dec_hbm.at[pl.ds(win * cap_v, cap_v), :], dec_buf.at[j],
             sems.at[j])
 
-    for j in range(wpb):  # static unroll: issue all fetches up front
-        dec_copy(j).start()
+    for j in range(wpb):  # static unroll: fetch only first-occurrence windows
+        @pl.when(dup_ref[g * wpb + j] == 0)
+        def _start(j=j):
+            dec_copy(j).start()
 
     for j in range(wpb):  # static unroll: wait + score in arrival order
-        dec_copy(j).wait()
-        win = flat_ref[g * wpb + j]
-        pen = lax.select(dup_ref[g * wpb + j] != 0,
-                         jnp.float32(jnp.inf), jnp.float32(0.0))
-        vl = vlen_ref[g * wpb + j]
-        dec = dec_buf[j]  # (cap_v, D) int8
-        decf = dec.astype(jnp.float32) * scl_ref[...]
-        nrm = jnp.sum(decf * decf, axis=1, keepdims=True)
-        row_id = lax.broadcasted_iota(jnp.int32, (cap_v, 1), 0)
-        pad_pen = jnp.where(row_id < vl, 0.0, jnp.inf).astype(jnp.float32)
-        cross = jnp.dot(dec, q_ref[...], preferred_element_type=jnp.int32)
-        scores = (nrm - 2.0 * cross.astype(jnp.float32) * alpha_ref[...]
-                  + pen + pad_pen)
-        if pen_ref is not None:
-            scores = scores + pen_ref[j * cap_v:(j + 1) * cap_v, :]
-        _ivf_tile_top2(scores, win, cap_v, qn, min_ref, arg_ref,
-                       out_row=j * 2 * ntiles)
+        @pl.when(dup_ref[g * wpb + j] == 0)
+        def _score(j=j):
+            dec_copy(j).wait()
+            win = flat_ref[g * wpb + j]
+            vl = vlen_ref[g * wpb + j]
+            dec = dec_buf[j]  # (cap_v, D) int8
+            decf = dec.astype(jnp.float32) * scl_ref[...]
+            nrm = jnp.sum(decf * decf, axis=1, keepdims=True)
+            row_id = lax.broadcasted_iota(jnp.int32, (cap_v, 1), 0)
+            pad_pen = jnp.where(row_id < vl, 0.0, jnp.inf).astype(jnp.float32)
+            cross = jnp.dot(dec, q_ref[...], preferred_element_type=jnp.int32)
+            scores = (nrm - 2.0 * cross.astype(jnp.float32) * alpha_ref[...]
+                      + pad_pen)
+            if pen_ref is not None:
+                scores = scores + pen_ref[j * cap_v:(j + 1) * cap_v, :]
+            _ivf_tile_top2(scores, win, cap_v, qn, min_ref, arg_ref,
+                           out_row=j * 2 * ntiles)
+
+        @pl.when(dup_ref[g * wpb + j] != 0)
+        def _dup(j=j):
+            # duplicate union entry: skip the fetch and the score entirely
+            # (measured 21.5 -> 15.4 us/q on the bf16 kernel at Q=64)
+            min_ref[j * 2 * ntiles:(j + 1) * 2 * ntiles, :] = jnp.full(
+                (2 * ntiles, qn), jnp.inf, jnp.float32)
+            arg_ref[j * 2 * ntiles:(j + 1) * 2 * ntiles, :] = jnp.zeros(
+                (2 * ntiles, qn), jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("cap_v", "interpret"))
