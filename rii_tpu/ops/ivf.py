@@ -106,7 +106,7 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
         cscores = centers_norms[None, :] - 2.0 * jnp.dot(
             q16, centers_dec.T.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32)
-        _, probe = lax.top_k(-cscores, w)  # (Q, w)
+        probe = _probe_topk(cscores, w, recall_target)  # (Q, w)
 
         # (2) sorted, dup-masked union of probed buckets.
         if qn * w >= nlist_pad:
@@ -277,7 +277,7 @@ def ivf_union_scan_topk_pq(queries, codes_g, norms_g, order_g, codewords,
         cscores = centers_norms[None, :] - 2.0 * jnp.dot(
             q16, centers_dec.T.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32)
-        _, probe = lax.top_k(-cscores, w)  # (Q, w)
+        probe = _probe_topk(cscores, w, recall_target)  # (Q, w)
 
         if qn * w >= nlist_pad:
             u = nlist_pad
@@ -462,7 +462,7 @@ def ivf_union_scan_topk_i8(queries, decoded_g_i8, col_scales, norms_g,
         cscores = centers_norms[None, :] - 2.0 * jnp.dot(
             q16, centers_dec.T.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32)
-        _, probe = lax.top_k(-cscores, w)  # (Q, w)
+        probe = _probe_topk(cscores, w, recall_target)  # (Q, w)
 
         if qn * w >= nlist_pad:
             flat = jnp.arange(nlist_pad, dtype=jnp.int32)
