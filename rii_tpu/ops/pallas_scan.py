@@ -223,9 +223,10 @@ def replica_scan_topk(queries, decoded, norms_col, topk, blk=1024,
 # The epilogue uses the packed-key single reduce over LANES: the low 7
 # mantissa bits of each f32 score carry the in-tile lane index, so one min
 # yields both the tile minimum (at 2^-16 relative precision, inside the
-# documented bf16-cross class) and its slot. Norms ride as an (8, cap) f32
-# sublane-replicated stream (+12.5% traffic) so distances keep exact f32
-# norms.
+# documented bf16-cross class) and its slot. Norms ride as a (1, cap) f32
+# stream (+1.6% traffic; Mosaic requires the block sublane dim to divide 8
+# or equal the array dim, so the ARRAY must be one row, not a row slice of a
+# replicated (8, cap) array) so distances keep exact f32 norms.
 # --------------------------------------------------------------------------- #
 
 _TBLK = 16384   # database columns per grid step (scores transient: qc x TBLK)
@@ -285,7 +286,9 @@ def _replica_keys_nn(queries, decoded_t, norms_rep, blk=_TBLK,
         grid=(cap // blk,),
         in_specs=[
             pl.BlockSpec((d, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            # one-sublane norms stream: blk*4 bytes per block instead of the
+            # 8x sublane-replicated stream (+12.5% -> +1.6% of data traffic)
+            pl.BlockSpec((1, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((qn, blk // _TILE), lambda i: (0, i),
@@ -319,8 +322,7 @@ def replica_scan_tile_minima_t(queries, decoded_t, norms_rep, blk=_TBLK,
         queries: (Q, D) f32.
         decoded_t: (D, cap) bf16 — the replica stored column-major so rows
             are MXU output columns (see block comment above).
-        norms_rep: (8, cap) f32 — ||decode||^2 replicated over 8 sublanes
-            (+inf on padded columns).
+        norms_rep: (1, cap) f32 — ||decode||^2 (+inf on padded columns).
 
     Returns (vmin (Q, cap/128) f32 WITHOUT ||q||^2 at packed-key precision,
     amin (Q, cap/128) int32 global slot ids).
@@ -460,11 +462,9 @@ def replica_scan_topk_t(queries, decoded_t, norms_rep, topk, blk=_TBLK,
 
 def prepare_replica_t(decoded, norms_flat):
     """(cap, D) bf16 replica + (cap,) f32 norms -> (decoded_t (D, cap),
-    norms_rep (8, cap)) device arrays for the transposed scan."""
+    norms_rep (1, cap)) device arrays for the transposed scan."""
     decoded_t = jnp.transpose(decoded)
-    norms_rep = jnp.broadcast_to(norms_flat[None, :],
-                                 (8, norms_flat.shape[0]))
-    return decoded_t, jnp.asarray(norms_rep)
+    return decoded_t, jnp.asarray(norms_flat[None, :])
 
 
 # --------------------------------------------------------------------------- #
@@ -561,7 +561,9 @@ def _replica_keys_i8t(queries, decoded_i8_t, col_scales, norms_rep,
         grid=(cap // blk,),
         in_specs=[
             pl.BlockSpec((d, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            # sublane row 0 only (see _replica_keys_nn): for int8 data the
+            # full (8, blk) f32 stream would be +25% of the data traffic
+            pl.BlockSpec((1, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((qn, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],

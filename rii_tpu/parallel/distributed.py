@@ -161,7 +161,7 @@ class ShardedRii:
                 self.decoded_t = jax.jit(jnp.transpose, out_shardings=sh_t)(
                     self.decoded)
                 self.norms_rep = jax.jit(
-                    lambda n: jnp.broadcast_to(n[None, :], (8, n.shape[0])),
+                    lambda n: n[None, :],
                     out_shardings=sh_r)(self.norms)
                 self.decoded = None  # one replica per shard, not two
 
@@ -352,7 +352,7 @@ class ShardedRii:
                     norms_c = jnp.where(member, norms_c, jnp.inf)
                 if use_t:
                     from rii_tpu.ops.pallas_scan import replica_scan_topk_t
-                    nr_c = jnp.broadcast_to(norms_c[None, :], (8, ck))
+                    nr_c = norms_c[None, :]
                     d_c, i_c = replica_scan_topk_t(
                         queries, lax.slice_in_dim(dec_l, lo, lo + ck, axis=1),
                         nr_c, topk=topk, recall_target=rt)

@@ -346,8 +346,7 @@ class Rii:
         if "decoded_t" in dc:
             dc["decoded_t"] = _set_cols(dc["decoded_t"], idx, dec_new.T)
             dc["norms_rep"] = _set_cols(dc["norms_rep"], idx,
-                                        jnp.broadcast_to(norms_j[None, :],
-                                                         (8, k)))
+                                        norms_j[None, :])
         if "decoded_flat" in dc:
             dc["decoded_flat"] = _set_rows(dc["decoded_flat"], idx, dec_new)
         if "decoded_i8_t" in dc or "decoded_i8" in dc:
@@ -360,8 +359,7 @@ class Rii:
             if "decoded_i8_t" in dc:
                 dc["decoded_i8_t"] = _set_cols(dc["decoded_i8_t"], idx, q_i8.T)
                 dc["norms_rep"] = _set_cols(dc["norms_rep"], idx,
-                                            jnp.broadcast_to(norms_j[None, :],
-                                                             (8, k)))
+                                            norms_j[None, :])
             else:
                 dc["decoded_i8"] = _set_rows(dc["decoded_i8"], idx, q_i8)
         if "pallas_codes" in dc:
@@ -559,8 +557,7 @@ class Rii:
             if "decoded_i8_t" in dc:
                 norms_m = jnp.where(jnp.asarray(mask), dc["norms_flat"],
                                     jnp.inf)
-                nr_m = jnp.asarray(jnp.broadcast_to(norms_m[None, :],
-                                                    (8, dc["cap"])))
+                nr_m = jnp.asarray(norms_m[None, :])
                 d, i = replica_i8_scan_topk_t(
                     qd, dc["decoded_i8_t"], dc["i8_scales"], nr_m,
                     dc["codes_flat"], dc["codewords"], topk=topk,
@@ -577,10 +574,8 @@ class Rii:
                 # fold the subset mask into the replicated norms stream
                 norms_m = jnp.where(jnp.asarray(mask), dc["norms_flat"],
                                     jnp.inf)
-                norms_rep_m = jnp.broadcast_to(norms_m[None, :],
-                                               (8, dc["cap"]))
                 d, i = replica_scan_topk_t(qd, dc["decoded_t"],
-                                           jnp.asarray(norms_rep_m),
+                                           jnp.asarray(norms_m[None, :]),
                                            topk=topk, recall_target=rt,
                                            interpret=self._interp())
             elif use_pallas_replica:
@@ -922,8 +917,7 @@ class Rii:
                 # transposed int8 replica: half the bf16-T HBM traffic on the
                 # selection pass (exact rescore restores accuracy)
                 dc["decoded_i8_t"] = jnp.transpose(dec_i8)
-                dc["norms_rep"] = jnp.asarray(jnp.broadcast_to(
-                    dc["norms_flat"][None, :], (8, cap)))
+                dc["norms_rep"] = jnp.asarray(dc["norms_flat"][None, :])
             else:
                 dc["decoded_i8"] = dec_i8
             del decoded

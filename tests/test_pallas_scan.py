@@ -172,7 +172,7 @@ def test_transposed_replica_padding_and_masking():
     # subset mask folded into the norms stream
     norms_m = np.asarray(norms_col[:, 0]).copy()
     norms_m[:150] = np.inf  # exclude the first 150 ids
-    nr_m = jnp.broadcast_to(jnp.asarray(norms_m)[None, :], (8, len(norms_m)))
+    nr_m = jnp.asarray(norms_m)[None, :]
     _, i_m = replica_scan_topk_t(queries, dec_t, jnp.asarray(nr_m), topk=2,
                                  blk=1024, interpret=True)
     i_m = np.asarray(i_m)
