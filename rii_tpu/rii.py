@@ -89,6 +89,81 @@ def _set_cols(arr, idx, cols):
     return arr.at[:, idx].set(cols)
 
 
+class _RWLock:
+    """Many concurrent readers (queries) or one exclusive writer (mutation).
+
+    The incremental add path scatters into the live device cache with DONATED
+    buffers (see _apply_add_to_cache), so a query dispatched concurrently with
+    an add could hit a deleted array or observe a half-updated cache. Queries
+    take the shared side (QueryServer's dispatcher pool stays concurrent);
+    add/merge/clear/reconfigure take the exclusive side. Writer-preference:
+    a waiting writer blocks NEW readers so a saturated query stream cannot
+    starve mutations; a thread already holding the read side re-enters
+    freely (tracked thread-locally), so nested reads cannot deadlock.
+    """
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writing = False
+        self._writers_waiting = 0
+        self._tl = threading.local()  # per-thread read-hold count
+
+    class _Side:
+        def __init__(self, lock, write):
+            self._lock, self._write = lock, write
+
+        def __enter__(self):
+            lk = self._lock
+            held = getattr(lk._tl, "reads", 0)
+            with lk._cond:
+                if self._write:
+                    while lk._writing or lk._readers:
+                        lk._cond.wait()
+                    lk._writing = True
+                else:
+                    if held:  # re-entrant read: already counted, never waits
+                        lk._tl.reads = held + 1
+                        return
+                    while lk._writing or lk._writers_waiting:
+                        lk._cond.wait()
+                    lk._readers += 1
+                    lk._tl.reads = 1
+
+        def __exit__(self, *exc):
+            lk = self._lock
+            if not self._write:
+                held = lk._tl.reads = getattr(lk._tl, "reads", 1) - 1
+                if held:  # inner of a re-entrant read: nothing to release
+                    return
+            with lk._cond:
+                if self._write:
+                    lk._writing = False
+                else:
+                    lk._readers -= 1
+                lk._cond.notify_all()
+
+    class _WriteSide(_Side):
+        """Registers intent before blocking so new readers yield."""
+
+        def __enter__(self):
+            lk = self._lock
+            with lk._cond:
+                lk._writers_waiting += 1
+                try:
+                    while lk._writing or lk._readers:
+                        lk._cond.wait()
+                    lk._writing = True
+                finally:
+                    lk._writers_waiting -= 1
+
+    def read(self):
+        return self._Side(self, write=False)
+
+    def write(self):
+        return self._WriteSide(self, write=True)
+
+
 @jax.jit
 def _decode_rows(codes, codewords):
     """bf16 decoded rows, bit-identical to build_decoded_cache's blocks."""
@@ -138,6 +213,8 @@ class Rii:
         # query_batch concurrently, and two racing _ensure_cache builds would
         # transiently double device memory and duplicate remote compiles
         self._cache_lock = threading.Lock()
+        # queries shared / mutations exclusive (see _RWLock docstring)
+        self._state_lock = _RWLock()
 
     # ------------------------------------------------------------------ #
     # properties (parity with /root/reference/rii/rii.py:40-121)
@@ -224,20 +301,24 @@ class Rii:
         assert nlist <= self._n, "nlist must be <= N"
         iter = max(1, int(iter))
 
-        codes = self._consolidated_codes()
-        n_train = min(self._n, nlist * 100)
-        pick = np.random.RandomState(_RECONFIGURE_SAMPLE_SEED).permutation(self._n)[:n_train]
-        if self._verbose:
-            print(f"Training coarse centers on {n_train} codes (nlist={nlist})")
-        centers, _ = pqkmeans_fit(
-            self.codewords, codes[pick], k=nlist, iters=iter,
-            seed=_PQKMEANS_SEED, verbose=self._verbose,
-        )
-        self._centers = centers
-        assign = pqkmeans_predict(self.codewords, centers, codes)
-        self._assign_chunks = [assign.astype(np.int32)]
-        self._bump()
+        with self._state_lock.write():  # exclusive vs in-flight queries
+            codes = self._consolidated_codes()
+            n_train = min(self._n, nlist * 100)
+            pick = np.random.RandomState(
+                _RECONFIGURE_SAMPLE_SEED).permutation(self._n)[:n_train]
+            if self._verbose:
+                print(f"Training coarse centers on {n_train} codes "
+                      f"(nlist={nlist})")
+            centers, _ = pqkmeans_fit(
+                self.codewords, codes[pick], k=nlist, iters=iter,
+                seed=_PQKMEANS_SEED, verbose=self._verbose,
+            )
+            self._centers = centers
+            assign = pqkmeans_predict(self.codewords, centers, codes)
+            self._assign_chunks = [assign.astype(np.int32)]
+            self._bump()
 
+        # calibration issues queries itself, so it runs OUTSIDE the write lock
         if calibrate:
             probes = self.fine_quantizer.decode(codes[: min(100, self._n)])
             self.threshold = estimate_best_threshold_function(self, probes)
@@ -275,13 +356,14 @@ class Rii:
 
     def clear(self):
         """Drop codes, centers, postings, threshold. Codewords are kept."""
-        self.threshold = None
-        self._code_chunks = []
-        self._assign_chunks = []
-        self._n = 0
-        self._centers = None
-        self._codes_cache = None
-        self._bump()
+        with self._state_lock.write():
+            self.threshold = None
+            self._code_chunks = []
+            self._assign_chunks = []
+            self._n = 0
+            self._centers = None
+            self._codes_cache = None
+            self._bump()
 
     def _add_codes(self, codes, update_flag):
         codes = np.ascontiguousarray(codes, dtype=np.uint8)
@@ -290,21 +372,23 @@ class Rii:
             raise RuntimeError(
                 "reconfigure() must be called before add(vecs=X, update_posting_lists=True). "
                 "If this is the first addition, please call add_configure(vecs=X)")
-        self._code_chunks.append(codes)
-        self._codes_cache = None
-        if update_flag:
-            assign = pqkmeans_predict(self.codewords, self._centers, codes)
-        else:
-            assign = np.full(codes.shape[0], -1, dtype=np.int32)
-        self._assign_chunks.append(assign)
-        n0 = self._n
-        self._n += codes.shape[0]
-        self._version += 1
-        # incremental path: place only the new rows into the device cache's
-        # spare capacity (O(batch) — the reference's AddCodes is O(new),
-        # src/rii.h:158-193); falls back to a lazy full rebuild on overflow
-        if not self._apply_add_to_cache(codes, assign, n0):
-            self._dc = None
+        with self._state_lock.write():  # exclusive vs in-flight queries
+            self._code_chunks.append(codes)
+            self._codes_cache = None
+            if update_flag:
+                assign = pqkmeans_predict(self.codewords, self._centers, codes)
+            else:
+                assign = np.full(codes.shape[0], -1, dtype=np.int32)
+            self._assign_chunks.append(assign)
+            n0 = self._n
+            self._n += codes.shape[0]
+            self._version += 1
+            # incremental path: place only the new rows into the device
+            # cache's spare capacity (O(batch) — the reference's AddCodes is
+            # O(new), src/rii.h:158-193); falls back to a lazy full rebuild
+            # on overflow
+            if not self._apply_add_to_cache(codes, assign, n0):
+                self._dc = None
         if self._verbose:
             print(f"{codes.shape[0]} new vectors are added. Total: {self._n}")
 
@@ -446,6 +530,14 @@ class Rii:
         Same policy as :meth:`query` applied to (Q, D) queries sharing one
         target-id set. Returns (ids (Q, topk) int64, dists (Q, topk) float64).
         """
+        # shared lock: concurrent with other queries, exclusive vs mutations
+        # (add's donated in-place cache scatters would otherwise race reads)
+        with self._state_lock.read():
+            return self._query_batch_impl(queries, topk, L, target_ids,
+                                          sort_target_ids, method)
+
+    def _query_batch_impl(self, queries, topk, L, target_ids,
+                          sort_target_ids, method):
         assert 0 < self._n, "No codes to be searched"
         assert 0 < self.nlist, "Posting lists are not available; call reconfigure first"
         assert method in ("auto", "linear", "ivf")
@@ -496,16 +588,20 @@ class Rii:
 
     def query_linear(self, q, topk, target_ids=None):
         """Exact ADC linear scan. q: (D,) rotated query. Returns (ids, dists)."""
-        ids, dists = self._query_linear_batch(
-            np.ascontiguousarray(np.atleast_2d(q), np.float32), topk,
-            None if target_ids is None or len(target_ids) == 0 else np.asarray(target_ids))
+        with self._state_lock.read():
+            ids, dists = self._query_linear_batch(
+                np.ascontiguousarray(np.atleast_2d(q), np.float32), topk,
+                None if target_ids is None or len(target_ids) == 0
+                else np.asarray(target_ids))
         return ids[0].astype(np.int64), dists[0].astype(np.float64)
 
     def query_ivf(self, q, topk, target_ids, L):
         """IVF probing scan. q: (D,) rotated query. Returns (ids, dists)."""
-        ids, dists = self._query_ivf_batch(
-            np.ascontiguousarray(np.atleast_2d(q), np.float32), topk,
-            None if target_ids is None or len(target_ids) == 0 else np.asarray(target_ids), L)
+        with self._state_lock.read():
+            ids, dists = self._query_ivf_batch(
+                np.ascontiguousarray(np.atleast_2d(q), np.float32), topk,
+                None if target_ids is None or len(target_ids) == 0
+                else np.asarray(target_ids), L)
         return ids[0].astype(np.int64), dists[0].astype(np.float64)
 
     def _query_linear_batch(self, queries, topk, tids):
@@ -1090,12 +1186,14 @@ class Rii:
         state = self.__dict__.copy()
         state["_dc"] = None
         state.pop("_cache_lock", None)  # locks do not pickle
+        state.pop("_state_lock", None)
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
         self._dc = None
         self._cache_lock = threading.Lock()
+        self._state_lock = _RWLock()
 
 
 def estimate_best_threshold_function(e, queries):
@@ -1120,10 +1218,11 @@ def estimate_best_threshold_function(e, queries):
             qs = np.ascontiguousarray(e.fine_quantizer.rotate(qs),
                                       dtype=np.float32)
         t0 = time.perf_counter()
-        if method == "linear":
-            e._query_linear_batch(qs, topk, tids)
-        else:
-            e._query_ivf_batch(qs, topk, tids, L)
+        with e._state_lock.read():  # same shared lock as the public entries
+            if method == "linear":
+                e._query_linear_batch(qs, topk, tids)
+            else:
+                e._query_ivf_batch(qs, topk, tids, L)
         return (time.perf_counter() - t0) / qs.shape[0]
 
     def sweep(L):
