@@ -84,6 +84,30 @@ def main():
         ids, _ = e.query_batch(x_add[:4], topk=5, method="linear")
         hits = np.mean([n + 128 + i in ids[i] for i in range(4)])
         log(f"N={n}: new-id self-hit {hits:.2f}")
+
+        if os.environ.get("BENCH_SHARDED", "0") == "1":
+            # same contract through ShardedRii's delta placement (on however
+            # many devices this backend exposes; 1 on the tunneled dev chip)
+            from rii_tpu.parallel import ShardedRii
+            e2 = Rii(pq)
+            e2.decoded_cache_budget = 8 << 30
+            e2._add_codes(codes, False)
+            e2._centers = e._centers
+            e2._assign_chunks = [np.asarray(e._assignments()[:n]).copy()]
+            sr = ShardedRii(e2)
+            sr.add(x_add[:128])  # warm the scatter jit variants
+            cache_id = id(sr._scan_cache)
+            t0 = time.perf_counter()
+            sr.add(x_add)
+            t_sadd = time.perf_counter() - t0
+            delta = id(sr._scan_cache) == cache_id  # refresh() replaces it
+            t0 = time.perf_counter()
+            sr.refresh()
+            t_srefresh = time.perf_counter() - t0
+            log(f"N={n}: sharded add(+{n_add}) {t_sadd:.3f}s "
+                f"delta_path={delta} vs full refresh {t_srefresh:.2f}s "
+                f"({t_srefresh/max(t_sadd,1e-9):.0f}x cheaper)")
+            del e2, sr
         del e
 
 

@@ -98,11 +98,17 @@ def build_virtual_layout(codes, norms, assignments, nlist, cap_v=256, pad_to=8,
     ONE static size — bucket-size skew costs at most cap_v-1 padding slots per
     real bucket instead of inflating every window to the max bucket length.
 
-    headroom reserves extra tail slots per real bucket (ceil(len_b*headroom))
-    so post-build appends can be placed in O(batch) without a layout rebuild
-    (the incremental-add path; the reference's O(new) AddCodes,
-    /root/reference/src/rii.h:158-193). A bucket's members always occupy the
-    contiguous prefix [vstart[b]*cap_v, vstart[b]*cap_v + counts[b]).
+    headroom reserves extra tail slots per real bucket
+    (ceil((len_b + avg_len)*headroom)) so post-build appends can be placed in
+    O(batch) without a layout rebuild (the incremental-add path; the
+    reference's O(new) AddCodes, /root/reference/src/rii.h:158-193). The
+    avg_len term matters: add traffic tracks cluster density with heavy
+    noise, so a proportional-only reserve under-protects buckets sitting
+    just below a cap_v granule boundary (measured: a +10% uniform add at
+    N=200k/nlist=1000 overflowed a 227-member bucket whose proportional
+    reserve left 29 spare slots against 37 arrivals). A bucket's members
+    always occupy the contiguous prefix
+    [vstart[b]*cap_v, vstart[b]*cap_v + counts[b]).
 
     Returns dict: order (total,) int32 (-1 pad), codes_grouped (total, M) u8,
     norms_grouped (total,) f32 (+inf pad), vreal (nlist_v_pad,) int32 real
@@ -114,7 +120,8 @@ def build_virtual_layout(codes, norms, assignments, nlist, cap_v=256, pad_to=8,
     assignments = np.asarray(assignments, dtype=np.int64)
     in_bucket = assignments >= 0
     counts = np.bincount(assignments[in_bucket], minlength=nlist)
-    reserve = np.ceil(counts * float(headroom)).astype(np.int64)
+    avg = counts.sum() / max(1, nlist)
+    reserve = np.ceil((counts + avg) * float(headroom)).astype(np.int64)
     chunks = np.maximum(1, -(-(counts + reserve) // cap_v))  # >=1: probeable
     nlist_v = int(chunks.sum())
     nlist_v_pad = -(-max(nlist_v, 1) // pad_to) * pad_to

@@ -85,7 +85,8 @@ class ShardedRii:
         overlap_chunks: linear-scan chunk count for collective/scan overlap.
     """
 
-    def __init__(self, engine, mesh=None, use_decoded=None, overlap_chunks=4):
+    def __init__(self, engine, mesh=None, use_decoded=None, overlap_chunks=4,
+                 growth_headroom=0.125):
         self.engine = engine
         self.mesh = mesh or make_mesh()
         # 1-D ("data",) or 2-D ("hosts", "chips") meshes (make_mesh_hc):
@@ -99,6 +100,12 @@ class ShardedRii:
         # chunk c with the scan of chunk c+1 (BASELINE north star)
         self.overlap_chunks = max(1, int(overlap_chunks))
         self._use_decoded_opt = use_decoded
+        # spare capacity fraction reserved at refresh() so add()/merge()
+        # place new rows with O(batch) scatters instead of an O(N) rebuild
+        # (the single-chip cache reserves the same 12.5%; the reference's
+        # AddCodes is O(new), /root/reference/src/rii.h:158-193). 0 disables
+        # the delta path (every add falls back to a full refresh).
+        self.growth_headroom = max(0.0, float(growth_headroom))
         self.refresh()
 
     # ------------------------------------------------------------------ #
@@ -121,7 +128,10 @@ class ShardedRii:
         # transposed NN kernel's out-block constraint holds per shard
         use_dec_opt = self._use_decoded_opt in (None, True)
         block = 16384 if (self._use_pallas() and use_dec_opt) else 1024
-        cap = -(-max(n, 1) // (self.ndev * block)) * (self.ndev * block)
+        # growth headroom: spare tail rows (+inf norms, so scans ignore them)
+        # that O(batch) delta-adds fill before forcing a rebuild
+        want = max(n, 1) + int(np.ceil(max(n, 1) * self.growth_headroom))
+        cap = -(-want // (self.ndev * block)) * (self.ndev * block)
         codes_pad = np.zeros((cap, codes.shape[1]), np.uint8)
         codes_pad[:n] = codes
         norms_pad = np.full(cap, np.inf, np.float32)
@@ -129,6 +139,7 @@ class ShardedRii:
 
         mesh = self.mesh
         self.cap = cap
+        self._n_dev = n
         self.block = min(block, cap // self.ndev)
         self.codes = put_sharded(mesh, codes_pad, P(self._dim0, None))
         self.norms = put_sharded(mesh, norms_pad, P(self._dim0))
@@ -173,8 +184,11 @@ class ShardedRii:
         self.ivf = None
         if engine.nlist > 0:
             from rii_tpu.models.ivf import build_virtual_layout
+            # same 12.5% per-bucket headroom as the single-chip cache so the
+            # delta-add path can place rows at each bucket's contiguous tail
             ul = build_virtual_layout(codes, norms, engine._assignments(),
-                                      engine.nlist, pad_to=8 * self.ndev)
+                                      engine.nlist, pad_to=8 * self.ndev,
+                                      headroom=self.growth_headroom)
             # decode coarse centers on host — do NOT touch engine._ensure_cache
             # here: that would materialize the FULL single-device cache on one
             # chip, defeating sharding at the big-N scales ShardedRii targets
@@ -194,6 +208,7 @@ class ShardedRii:
                            np.inf).astype(np.float32)
             codes_g = put_sharded(mesh, ul["codes_grouped"], P(self._dim0, None))
             order_g = put_sharded(mesh, ul["order"], P(self._dim0))
+            vstart = ul["vstart"]
             self.ivf = {
                 "mode": win_mode,
                 "cap_v": ul["cap_v"],
@@ -203,6 +218,12 @@ class ShardedRii:
                 "norms_g": put_sharded(mesh, ul["norms_grouped"], P(self._dim0)),
                 "centers_dec_v": put_sharded(mesh, cdv, P(self._dim0, None)),
                 "centers_norms_v": put_sharded(mesh, cnv, P(self._dim0)),
+                # host mirrors for the O(batch) delta-add placement (same
+                # contiguous-prefix invariant as the single-chip cache)
+                "v_vstart": vstart[:nlist].astype(np.int64),
+                "v_counts": ul["counts"].copy(),
+                "v_capacity": ((vstart[1:] - vstart[:-1])
+                               * ul["cap_v"]).astype(np.int64),
             }
             if win_mode == "bf16":
                 # padding rows get the large sentinel the Pallas window kernel
@@ -254,14 +275,133 @@ class ShardedRii:
     # ------------------------------------------------------------------ #
 
     def add(self, vecs, update_posting_lists="auto"):
-        """Encode + append through the wrapped engine, then re-place shards."""
+        """Encode + append through the wrapped engine, then place ONLY the
+        new rows into the sharded device state (O(batch) scatters into the
+        spare capacity reserved at refresh() — the reference's O(new)
+        AddCodes contract, /root/reference/src/rii.h:158-193). Falls back to
+        a full refresh when capacity is exhausted."""
+        n0 = self.engine.N
         self.engine.add(vecs, update_posting_lists)
-        return self.refresh()
+        return self._after_host_append(n0)
 
     def merge(self, engine, update_posting_lists="auto"):
-        """Append another engine's codes (Rii.merge semantics), re-place."""
+        """Append another engine's codes (Rii.merge semantics); same O(batch)
+        delta placement as :meth:`add`."""
+        n0 = self.engine.N
         self.engine.merge(engine, update_posting_lists)
-        return self.refresh()
+        return self._after_host_append(n0)
+
+    def _after_host_append(self, n0):
+        if self.engine.N == n0:
+            return self
+        # Rii._add_codes appends exactly one chunk per add/merge call, so the
+        # last chunk is this batch (consolidating instead would be O(N))
+        codes = np.ascontiguousarray(self.engine._code_chunks[-1], np.uint8)
+        assign = np.asarray(self.engine._assign_chunks[-1])
+        # exclusive vs in-flight queries: the scatters donate live buffers
+        with self.engine._state_lock.write():
+            ok = self._apply_add_sharded(codes, assign, n0)
+        return self if ok else self.refresh()
+
+    def _apply_add_sharded(self, codes, assign, n0):
+        """Scatter k new rows into the sharded device arrays. Returns False
+        when spare capacity (rows or per-bucket window slots) is exhausted —
+        the caller then pays the full refresh. Mirrors the single-chip
+        Rii._apply_add_to_cache placement exactly: linear rows land at global
+        positions [n0, n0+k); grouped rows land at their bucket's contiguous
+        tail, keeping ids ascending within each bucket (reference push_back
+        order, /root/reference/src/rii.h:356-358). The scatters run under jit
+        on the mesh — replicated updates, sharded operands — so each device
+        writes only the rows it owns and shapes/shardings are unchanged
+        (zero recompiles of the cached scan functions)."""
+        k = codes.shape[0]
+        if k == 0:
+            return True
+        if n0 + k > self.cap:
+            return False
+        iv = self.ivf
+        update_ivf = bool((assign >= 0).any())
+        if update_ivf:
+            if iv is None or "v_counts" not in iv:
+                return False
+            add_counts = np.bincount(assign[assign >= 0],
+                                     minlength=self.engine.nlist)
+            new_counts = iv["v_counts"] + add_counts
+            if (new_counts > iv["v_capacity"]).any():
+                return False
+
+        from rii_tpu.models.ivf import code_norms_np
+        from rii_tpu.rii import _decode_rows, _set_cols, _set_rows
+        mesh = self.mesh
+        cw = np.asarray(self.engine.codewords, dtype=np.float32)
+        norms_new = code_norms_np(cw, codes)
+        idx = put_sharded(mesh, np.arange(n0, n0 + k, dtype=np.int32), P())
+        codes_j = put_sharded(mesh, codes, P())
+        norms_j = put_sharded(mesh, norms_new, P())
+        self.codes = _set_rows(self.codes, idx, codes_j)
+        self.norms = _set_rows(self.norms, idx, norms_j)
+        dec_new = None
+        if (self.decoded is not None or self.decoded_t is not None
+                or (update_ivf and ("decoded_g" in iv
+                                    or "decoded_g_i8" in iv))):
+            dec_new = _decode_rows(codes_j, self.codewords)  # (k, D) bf16
+        if self.decoded_t is not None:
+            self.decoded_t = _set_cols(self.decoded_t, idx, dec_new.T)
+            self.norms_rep = _set_cols(self.norms_rep, idx, norms_j[None, :])
+        elif self.decoded is not None:
+            self.decoded = _set_rows(self.decoded, idx, dec_new)
+
+        if update_ivf:
+            vstart = iv["v_vstart"]
+            counts = iv["v_counts"]
+            cap_v = iv["cap_v"]
+            perm = np.argsort(assign, kind="stable")
+            srt = assign[perm]
+            offs = np.arange(k, dtype=np.int64) - np.searchsorted(srt, srt)
+            slots = vstart[srt] * cap_v + counts[srt] + offs
+            slots_j = put_sharded(mesh, slots.astype(np.int32), P())
+            permj = put_sharded(mesh, perm.astype(np.int32), P())
+            ids_new = put_sharded(mesh, (n0 + perm).astype(np.int32), P())
+            iv["order_g"] = _set_rows(iv["order_g"], slots_j, ids_new)
+            iv["norms_g"] = _set_rows(
+                iv["norms_g"], slots_j,
+                put_sharded(mesh, norms_new[perm], P()))
+            if "decoded_g" in iv:
+                iv["decoded_g"] = _set_rows(iv["decoded_g"], slots_j,
+                                            jnp.take(dec_new, permj, axis=0))
+            elif "decoded_g_i8" in iv:
+                # re-quantize with the EXISTING replicated column scales
+                # (codeword-derived, so new rows cannot exceed them)
+                qg = jnp.clip(jnp.round(dec_new.astype(jnp.float32)
+                                        / iv["i8_scales"][None, :]),
+                              -127, 127).astype(jnp.int8)
+                iv["decoded_g_i8"] = _set_rows(iv["decoded_g_i8"], slots_j,
+                                               jnp.take(qg, permj, axis=0))
+            if "codes_g" in iv:
+                iv["codes_g"] = _set_rows(iv["codes_g"], slots_j,
+                                          jnp.take(codes_j, permj, axis=0))
+            if "vlen_g" in iv:
+                # recompute the touched windows' member counts on host
+                touched = np.unique(srt)
+                wins, vls = [], []
+                for b in touched:
+                    nwin = int(-(-iv["v_capacity"][b] // cap_v))
+                    w0 = int(vstart[b])
+                    fill = np.clip(new_counts[b]
+                                   - np.arange(nwin, dtype=np.int64) * cap_v,
+                                   0, cap_v)
+                    wins.append(np.arange(w0, w0 + nwin, dtype=np.int64))
+                    vls.append(fill)
+                iv["vlen_g"] = _set_rows(
+                    iv["vlen_g"],
+                    put_sharded(mesh, np.concatenate(wins).astype(np.int32),
+                                P()),
+                    put_sharded(mesh, np.concatenate(vls).astype(np.int32),
+                                P()))
+            iv["v_counts"] = new_counts
+
+        self._n_dev = n0 + k
+        return True
 
     def reconfigure(self, nlist=None, iter=5):
         """Distributed reconfigure: PQk-means fit + posting assignment run
@@ -547,6 +687,15 @@ class ShardedRii:
         applied per shard by membership.
         """
         assert self.ivf is not None, "IVF requires a reconfigured engine"
+        # shared lock: concurrent with other queries, exclusive vs the
+        # donated delta-add scatters (see Rii._RWLock; re-entrant under
+        # query_batch's read side)
+        with self.engine._state_lock.read():
+            return self._query_ivf_batch_impl(queries, topk, L, target_ids,
+                                              sort_target_ids)
+
+    def _query_ivf_batch_impl(self, queries, topk, L, target_ids,
+                              sort_target_ids):
         e = self.engine
         iv = self.ivf
         if L is None:
@@ -609,6 +758,11 @@ class ShardedRii:
             return self.query_ivf_batch(queries, topk=topk, L=L,
                                         target_ids=target_ids,
                                         sort_target_ids=sort_target_ids)
+        with self.engine._state_lock.read():
+            return self._query_linear_impl(queries, topk, target_ids,
+                                           sort_target_ids)
+
+    def _query_linear_impl(self, queries, topk, target_ids, sort_target_ids):
         queries = self._rotated(queries)
         tids, nt, s = self._prep_targets(target_ids, sort_target_ids)
         dec = self.decoded_t if self.decoded_t is not None else self.decoded

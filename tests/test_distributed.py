@@ -372,8 +372,10 @@ def test_sharded_overlap_chunks_identical_results():
     e = Rii(fine_quantizer=PQ(M=4, Ks=32).fit(X[:2000]))
     e.topk_recall = None  # exact selection -> bit-comparable
     e.add_configure(X, nlist=64)
-    s4 = ShardedRii(e, overlap_chunks=4)
-    s1 = ShardedRii(e, overlap_chunks=1)
+    # growth_headroom=0 keeps cap == pow2-roundup(N) so the 4-chunk split
+    # stays on the 1024 granule (this test targets chunk-overlap equality)
+    s4 = ShardedRii(e, overlap_chunks=4, growth_headroom=0.0)
+    s1 = ShardedRii(e, overlap_chunks=1, growth_headroom=0.0)
     # shard_cap 3840000/...: assert the chunking actually engaged
     shard_cap = s4.cap // s4.ndev
     assert shard_cap % (4 * 1024) == 0, shard_cap
@@ -413,3 +415,101 @@ def test_sharded_i8_window_mode_matches_linear_at_full_coverage():
     ids_sl, d_sl = sr.query_batch(X[:8], topk=5, target_ids=tids)
     for a, b in zip(ids_s, ids_sl):
         assert set(a.tolist()) == set(b.tolist())
+
+
+# --------------------------------------------------------------------------- #
+# O(batch) sharded delta-add (the reference's O(new) AddCodes contract,
+# /root/reference/src/rii.h:158-193, on the mesh)
+# --------------------------------------------------------------------------- #
+
+def _delta_engine(rng, n, d=32, nlist=32):
+    X = rng.random((n + 1024, d)).astype(np.float32)
+    pq = PQ(M=4, Ks=32).fit(X[:512], iter=3)
+    e = Rii(pq)
+    e.add_configure(X[:n], nlist=nlist, iter=3)
+    return e, X, pq
+
+
+@pytest.mark.parametrize("tier", [None, True, "i8"])
+def test_sharded_delta_add_no_rebuild_matches_full_refresh(tier):
+    """add() must scatter into the live sharded state (no refresh: cached
+    scan fns and array shapes survive) and give results identical to a
+    freshly refreshed ShardedRii over the same host state."""
+    rng = np.random.RandomState(33)
+    e, X, pq = _delta_engine(rng, 2048)
+    sr = ShardedRii(e, use_decoded=tier)
+    q = np.ascontiguousarray(X[100:108])
+    sr.query_batch(q, topk=5)  # populate the scan cache
+    if sr.ivf is not None:
+        sr.query_ivf_batch(q, topk=5, L=512)
+    cache_keys = set(sr._scan_cache.keys())
+    cache_fns = dict(sr._scan_cache)
+    codes_shape, codes_sharding = sr.codes.shape, sr.codes.sharding
+    n0 = e.N
+
+    sr.add(X[2048:2048 + 256], update_posting_lists=True)
+
+    # delta path taken: same objects, same shapes, same shardings
+    assert sr._n_dev == n0 + 256
+    assert sr.codes.shape == codes_shape
+    assert sr.codes.sharding == codes_sharding
+    for k in cache_keys:
+        assert sr._scan_cache[k] is cache_fns[k], "scan cache was rebuilt"
+
+    # equality vs a full refresh of the SAME engine state
+    ref = ShardedRii(e, use_decoded=tier)
+    ids_a, d_a = sr.query_batch(q, topk=10)
+    ids_b, d_b = ref.query_batch(q, topk=10)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(d_a, d_b, rtol=1e-6)
+    if sr.ivf is not None:
+        ids_a, d_a = sr.query_ivf_batch(q, topk=10, L=e.N)
+        ids_b, d_b = ref.query_ivf_batch(q, topk=10, L=e.N)
+        np.testing.assert_array_equal(ids_a, ids_b)
+        np.testing.assert_allclose(d_a, d_b, rtol=1e-6)
+        # new rows must be findable through the IVF path
+        qn = np.ascontiguousarray(X[2048:2052])
+        ids_n, _ = sr.query_ivf_batch(qn, topk=1, L=e.N)
+        assert (ids_n[:, 0] >= 0).all()
+    # subset search crossing old and new rows
+    tids = np.sort(np.concatenate([
+        rng.choice(2048, 200, replace=False),
+        2048 + rng.choice(256, 56, replace=False)])).astype(np.int64)
+    ids_a, d_a = sr.query_batch(q, topk=5, target_ids=tids)
+    ids_b, d_b = ref.query_batch(q, topk=5, target_ids=tids)
+    np.testing.assert_array_equal(ids_a, ids_b)
+
+
+def test_sharded_delta_add_without_update_invisible_to_ivf():
+    rng = np.random.RandomState(34)
+    e, X, pq = _delta_engine(rng, 2048)
+    sr = ShardedRii(e)
+    sr.add(X[2048:2048 + 128], update_posting_lists=False)
+    assert sr._n_dev == 2048 + 128
+    # linear sees the new rows; IVF does not (reference contract)
+    qn = np.ascontiguousarray(X[2048:2052])
+    ids_l, _ = sr.query_batch(qn, topk=1)
+    assert (ids_l[:, 0] >= 2048).all()
+    # the grouped layout must hold only the original members (at this tiny
+    # scale every IVF query widens to the linear fallback, so the contract
+    # is asserted on the sharded state itself, like the single-chip
+    # posting_lists assertion in test_growth.py)
+    assert int(sr.ivf["v_counts"].sum()) == 2048
+    assert int(np.asarray(sr.ivf["order_g"]).max()) < 2048
+
+
+def test_sharded_delta_add_overflow_falls_back_to_refresh():
+    rng = np.random.RandomState(35)
+    e, X, pq = _delta_engine(rng, 2048)
+    sr = ShardedRii(e, growth_headroom=0.0)
+    cap0 = sr.cap
+    # a batch larger than the spare rounding capacity must trigger a refresh
+    big = rng.random((cap0 - e.N + 64, 32)).astype(np.float32)
+    sr.add(big, update_posting_lists=True)
+    assert sr.cap >= e.N  # rebuilt with the new N
+    assert sr._n_dev == e.N
+    q = np.ascontiguousarray(X[:8])
+    ref = ShardedRii(e)
+    ids_a, d_a = sr.query_batch(q, topk=5)
+    ids_b, d_b = ref.query_batch(q, topk=5)
+    np.testing.assert_array_equal(ids_a, ids_b)
