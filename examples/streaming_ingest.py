@@ -41,19 +41,26 @@ def main():
     e.add(X[n0:n0 + 1])               # warm the incremental-add scatters
 
     stop = threading.Event()
-    qps_count = [0]
+    counts = [0] * n_clients  # per-thread: no shared read-modify-write
     add_times = []
 
-    def client(srv):
-        while not stop.is_set():
-            j = rng.randint(0, e.N)
-            ids, _ = srv.submit(X[j], topk=10).result()
-            assert ids.shape == (10,)  # (D,) submissions squeeze to 1-D
-            qps_count[0] += 1
+    errors = []
+
+    def client(srv, i):
+        # RandomState is not thread-safe: one instance per client
+        crng = np.random.RandomState(1000 + i)
+        try:
+            while not stop.is_set():
+                j = crng.randint(0, e.N)
+                ids, _ = srv.submit(X[j], topk=10).result()
+                assert ids.shape == (10,)  # (D,) submissions squeeze to 1-D
+                counts[i] += 1
+        except Exception as exc:  # noqa: BLE001 - surfaced after the run
+            errors.append(exc)
 
     with QueryServer(e, max_batch=1024, max_wait_ms=3.0) as srv:
-        threads = [threading.Thread(target=client, args=(srv,), daemon=True)
-                   for _ in range(n_clients)]
+        threads = [threading.Thread(target=client, args=(srv, i))
+                   for i in range(n_clients)]
         t_start = time.perf_counter()
         for t in threads:
             t.start()
@@ -78,7 +85,9 @@ def main():
     probe = X[e.N - 4:e.N]
     ids, _ = e.query_batch(np.ascontiguousarray(probe), topk=1)
     hits = float((ids[:, 0] >= e.N - 4).mean())
-    print(f"\nserved ~{qps_count[0] / wall:.0f} QPS while streaming "
+    if errors:
+        raise errors[0]
+    print(f"\nserved ~{sum(counts) / wall:.0f} QPS while streaming "
           f"{n_batches}x{batch} rows; "
           f"median add {np.median(add_times)*1e3:.0f} ms; "
           f"new-row self-hit {hits:.2f}")

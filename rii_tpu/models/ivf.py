@@ -174,6 +174,55 @@ def build_virtual_layout(codes, norms, assignments, nlist, cap_v=256, pad_to=8,
     }
 
 
+def append_placement(assign, counts, vstart, cap_v, v_capacity):
+    """Host-side placement for an O(batch) append into a grouped layout
+    built by :func:`build_virtual_layout` (shared by the single-chip
+    Rii._apply_add_to_cache and ShardedRii._apply_add_sharded so the
+    contiguous-prefix invariant cannot diverge between them).
+
+    Each new id lands at its bucket's contiguous tail — members of bucket b
+    always occupy [vstart[b]*cap_v, vstart[b]*cap_v + counts[b]) — and
+    append-only placement keeps ids ascending within each bucket (reference
+    push_back order, /root/reference/src/rii.h:356-358).
+
+    Returns None when any bucket would exceed its reserved window capacity
+    (the caller then rebuilds), else a dict:
+      perm (k,) stable bucket-sort permutation of the batch,
+      slots (k,) int64 grouped-array destinations for the PERMUTED batch,
+      new_counts (nlist,) updated per-bucket member counts,
+      wins / vls int32 arrays: the touched windows and their new member
+      counts (the vlen stream update for kernels that mask by count).
+    """
+    assign = np.asarray(assign)
+    assert (assign >= 0).all(), "append_placement needs fully assigned rows"
+    nlist = counts.shape[0]
+    add_counts = np.bincount(assign, minlength=nlist)
+    new_counts = counts + add_counts
+    if (new_counts > v_capacity).any():
+        return None
+    k = assign.shape[0]
+    perm = np.argsort(assign, kind="stable")
+    srt = assign[perm]
+    offs = np.arange(k, dtype=np.int64) - np.searchsorted(srt, srt)
+    slots = vstart[srt] * cap_v + counts[srt] + offs
+    touched = np.unique(srt)
+    wins, vls = [], []
+    for b in touched:
+        nwin = int(-(-v_capacity[b] // cap_v))
+        w0 = int(vstart[b])
+        fill = np.clip(new_counts[b] - np.arange(nwin, dtype=np.int64) * cap_v,
+                       0, cap_v)
+        wins.append(np.arange(w0, w0 + nwin, dtype=np.int64))
+        vls.append(fill)
+    return {
+        "perm": perm,
+        "slots": slots,
+        "new_counts": new_counts,
+        "wins": np.concatenate(wins).astype(np.int32),
+        "vls": np.concatenate(vls).astype(np.int32),
+    }
+
+
 def posting_lists_from_assignments(assignments, nlist):
     """Materialize reference-style posting lists (list of ascending-id lists)."""
     assignments = np.asarray(assignments)

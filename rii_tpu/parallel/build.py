@@ -201,10 +201,13 @@ def reconfigure_on_mesh(engine, mesh, nlist=None, iter=5,
               f"mesh={dict(mesh.shape)})")
     centers, _ = fit_on_mesh(mesh, engine.codewords, codes[pick], k=nlist,
                              iters=max(1, int(iter)), axis_name=axis_name)
-    engine._centers = centers
     assign = predict_on_mesh(mesh, engine.codewords, centers, codes,
                              axis_name=axis_name)
-    engine._assign_chunks = [assign.astype(np.int32)]
-    engine._bump()
-    engine.threshold = engine._analytic_threshold()
+    # the long SPMD fit/predict ran on a consistent snapshot; only the state
+    # swap needs the exclusive side (queries keep the old state meanwhile)
+    with engine._state_lock.write():
+        engine._centers = centers
+        engine._assign_chunks = [assign.astype(np.int32)]
+        engine._bump()
+        engine.threshold = engine._analytic_threshold()
     return engine

@@ -113,7 +113,16 @@ class ShardedRii:
     # ------------------------------------------------------------------ #
 
     def refresh(self):
-        """Rebuild the sharded device state from the engine's host state."""
+        """Rebuild the sharded device state from the engine's host state.
+
+        Runs under the engine's exclusive lock: the rebuild replaces cap /
+        codes / ivf / scan-cache non-atomically, and a concurrent query
+        observing a new cap against old-shape shards would compute wrong
+        global-id offsets (or slice past an array end)."""
+        with self.engine._state_lock.write():
+            return self._refresh_locked()
+
+    def _refresh_locked(self):
         engine = self.engine
         self.topk_recall = getattr(engine, "topk_recall", None)
         self._scan_cache = {}
@@ -280,24 +289,33 @@ class ShardedRii:
         spare capacity reserved at refresh() — the reference's O(new)
         AddCodes contract, /root/reference/src/rii.h:158-193). Falls back to
         a full refresh when capacity is exhausted."""
-        n0 = self.engine.N
-        self.engine.add(vecs, update_posting_lists)
-        return self._after_host_append(n0)
+        e = self.engine
+        vecs = np.asarray(vecs)
+        assert vecs.ndim == 2 and vecs.dtype == np.float32
+        codes = e.fine_quantizer.encode(vecs)
+        return self._append_codes(
+            codes, e._resolve_update_posting_lists_flag(update_posting_lists))
 
     def merge(self, engine, update_posting_lists="auto"):
         """Append another engine's codes (Rii.merge semantics); same O(batch)
         delta placement as :meth:`add`."""
-        n0 = self.engine.N
-        self.engine.merge(engine, update_posting_lists)
-        return self._after_host_append(n0)
-
-    def _after_host_append(self, n0):
-        if self.engine.N == n0:
+        from rii_tpu.rii import Rii
+        e = self.engine
+        assert isinstance(engine, Rii)
+        assert e.fine_quantizer == engine.fine_quantizer, \
+            "Two engines to be merged must have the same fine quantizer"
+        if engine.N == 0:
             return self
-        # Rii._add_codes appends exactly one chunk per add/merge call, so the
-        # last chunk is this batch (consolidating instead would be O(N))
-        codes = np.ascontiguousarray(self.engine._code_chunks[-1], np.uint8)
-        assign = np.asarray(self.engine._assign_chunks[-1])
+        return self._append_codes(
+            engine._consolidated_codes().copy(),
+            e._resolve_update_posting_lists_flag(update_posting_lists))
+
+    def _append_codes(self, codes, update_flag):
+        # _add_codes returns (n0, assign) captured atomically with the
+        # append — under concurrent adds, reading _code_chunks[-1] here
+        # could hand us a DIFFERENT thread's batch
+        n0, assign = self.engine._add_codes(codes, update_flag)
+        codes = np.ascontiguousarray(codes, np.uint8)
         # exclusive vs in-flight queries: the scatters donate live buffers
         with self.engine._state_lock.write():
             ok = self._apply_add_sharded(codes, assign, n0)
@@ -317,17 +335,25 @@ class ShardedRii:
         k = codes.shape[0]
         if k == 0:
             return True
+        if n0 != self._n_dev:
+            # stale sharded view (the engine grew outside this wrapper):
+            # scattering at n0 would leave a +inf hole over the unseen rows;
+            # fall back to the self-healing full refresh
+            return False
         if n0 + k > self.cap:
             return False
         iv = self.ivf
         update_ivf = bool((assign >= 0).any())
+        place = None
         if update_ivf:
             if iv is None or "v_counts" not in iv:
                 return False
-            add_counts = np.bincount(assign[assign >= 0],
-                                     minlength=self.engine.nlist)
-            new_counts = iv["v_counts"] + add_counts
-            if (new_counts > iv["v_capacity"]).any():
+            # placement + capacity check BEFORE mutating anything (shared
+            # with Rii._apply_add_to_cache: models/ivf.append_placement)
+            from rii_tpu.models.ivf import append_placement
+            place = append_placement(assign, iv["v_counts"], iv["v_vstart"],
+                                     iv["cap_v"], iv["v_capacity"])
+            if place is None:
                 return False
 
         from rii_tpu.models.ivf import code_norms_np
@@ -352,14 +378,8 @@ class ShardedRii:
             self.decoded = _set_rows(self.decoded, idx, dec_new)
 
         if update_ivf:
-            vstart = iv["v_vstart"]
-            counts = iv["v_counts"]
-            cap_v = iv["cap_v"]
-            perm = np.argsort(assign, kind="stable")
-            srt = assign[perm]
-            offs = np.arange(k, dtype=np.int64) - np.searchsorted(srt, srt)
-            slots = vstart[srt] * cap_v + counts[srt] + offs
-            slots_j = put_sharded(mesh, slots.astype(np.int32), P())
+            perm = place["perm"]
+            slots_j = put_sharded(mesh, place["slots"].astype(np.int32), P())
             permj = put_sharded(mesh, perm.astype(np.int32), P())
             ids_new = put_sharded(mesh, (n0 + perm).astype(np.int32), P())
             iv["order_g"] = _set_rows(iv["order_g"], slots_j, ids_new)
@@ -381,24 +401,11 @@ class ShardedRii:
                 iv["codes_g"] = _set_rows(iv["codes_g"], slots_j,
                                           jnp.take(codes_j, permj, axis=0))
             if "vlen_g" in iv:
-                # recompute the touched windows' member counts on host
-                touched = np.unique(srt)
-                wins, vls = [], []
-                for b in touched:
-                    nwin = int(-(-iv["v_capacity"][b] // cap_v))
-                    w0 = int(vstart[b])
-                    fill = np.clip(new_counts[b]
-                                   - np.arange(nwin, dtype=np.int64) * cap_v,
-                                   0, cap_v)
-                    wins.append(np.arange(w0, w0 + nwin, dtype=np.int64))
-                    vls.append(fill)
                 iv["vlen_g"] = _set_rows(
                     iv["vlen_g"],
-                    put_sharded(mesh, np.concatenate(wins).astype(np.int32),
-                                P()),
-                    put_sharded(mesh, np.concatenate(vls).astype(np.int32),
-                                P()))
-            iv["v_counts"] = new_counts
+                    put_sharded(mesh, place["wins"], P()),
+                    put_sharded(mesh, place["vls"], P()))
+            iv["v_counts"] = place["new_counts"]
 
         self._n_dev = n0 + k
         return True

@@ -25,6 +25,7 @@ from rii_tpu.models.pq import PQ
 from rii_tpu.models.opq import OPQ
 from rii_tpu.models.pqkmeans import pqkmeans_fit, pqkmeans_predict
 from rii_tpu.models.ivf import (
+    append_placement,
     build_grouped_layout,
     build_virtual_layout,
     code_norms_np,
@@ -109,42 +110,36 @@ class _RWLock:
         self._writers_waiting = 0
         self._tl = threading.local()  # per-thread read-hold count
 
-    class _Side:
-        def __init__(self, lock, write):
-            self._lock, self._write = lock, write
+    class _ReadSide:
+        def __init__(self, lock):
+            self._lock = lock
 
         def __enter__(self):
             lk = self._lock
             held = getattr(lk._tl, "reads", 0)
+            if held:  # re-entrant read: already counted, never waits
+                lk._tl.reads = held + 1
+                return
             with lk._cond:
-                if self._write:
-                    while lk._writing or lk._readers:
-                        lk._cond.wait()
-                    lk._writing = True
-                else:
-                    if held:  # re-entrant read: already counted, never waits
-                        lk._tl.reads = held + 1
-                        return
-                    while lk._writing or lk._writers_waiting:
-                        lk._cond.wait()
-                    lk._readers += 1
-                    lk._tl.reads = 1
+                while lk._writing or lk._writers_waiting:
+                    lk._cond.wait()
+                lk._readers += 1
+                lk._tl.reads = 1
 
         def __exit__(self, *exc):
             lk = self._lock
-            if not self._write:
-                held = lk._tl.reads = getattr(lk._tl, "reads", 1) - 1
-                if held:  # inner of a re-entrant read: nothing to release
-                    return
+            held = lk._tl.reads = getattr(lk._tl, "reads", 1) - 1
+            if held:  # inner of a re-entrant read: nothing to release
+                return
             with lk._cond:
-                if self._write:
-                    lk._writing = False
-                else:
-                    lk._readers -= 1
+                lk._readers -= 1
                 lk._cond.notify_all()
 
-    class _WriteSide(_Side):
+    class _WriteSide:
         """Registers intent before blocking so new readers yield."""
+
+        def __init__(self, lock):
+            self._lock = lock
 
         def __enter__(self):
             lk = self._lock
@@ -157,11 +152,17 @@ class _RWLock:
                 finally:
                     lk._writers_waiting -= 1
 
+        def __exit__(self, *exc):
+            lk = self._lock
+            with lk._cond:
+                lk._writing = False
+                lk._cond.notify_all()
+
     def read(self):
-        return self._Side(self, write=False)
+        return self._ReadSide(self)
 
     def write(self):
-        return self._WriteSide(self, write=True)
+        return self._WriteSide(self)
 
 
 @jax.jit
@@ -366,19 +367,34 @@ class Rii:
             self._bump()
 
     def _add_codes(self, codes, update_flag):
+        """Append a code batch. Returns (n0, assign) captured atomically with
+        the append (ShardedRii's delta placement needs the pair to refer to
+        THIS batch, not whatever chunk lands last under concurrency)."""
         codes = np.ascontiguousarray(codes, dtype=np.uint8)
         assert codes.ndim == 2 and codes.shape[1] == self.M
         if update_flag and self._centers is None:
             raise RuntimeError(
                 "reconfigure() must be called before add(vecs=X, update_posting_lists=True). "
                 "If this is the first addition, please call add_configure(vecs=X)")
+
+        # the assignment depends only on (codewords, centers): compute it
+        # OUTSIDE the exclusive section so concurrent queries are not stalled
+        # behind the O(k*nlist) predict; re-validate against a racing
+        # reconfigure/clear (which replace _centers) inside the lock
+        def _predict():
+            if not update_flag:
+                return np.full(codes.shape[0], -1, dtype=np.int32)
+            return np.asarray(
+                pqkmeans_predict(self.codewords, self._centers, codes),
+                dtype=np.int32)
+
+        c0 = self._centers
+        assign = _predict()
         with self._state_lock.write():  # exclusive vs in-flight queries
+            if self._centers is not c0:  # reconfigure raced the predict
+                assign = _predict()
             self._code_chunks.append(codes)
             self._codes_cache = None
-            if update_flag:
-                assign = pqkmeans_predict(self.codewords, self._centers, codes)
-            else:
-                assign = np.full(codes.shape[0], -1, dtype=np.int32)
             self._assign_chunks.append(assign)
             n0 = self._n
             self._n += codes.shape[0]
@@ -391,6 +407,7 @@ class Rii:
                 self._dc = None
         if self._verbose:
             print(f"{codes.shape[0]} new vectors are added. Total: {self._n}")
+        return n0, assign
 
     def _apply_add_to_cache(self, codes, assign, n0):
         """Scatter k new rows into the live device cache. Returns False when
@@ -407,12 +424,13 @@ class Rii:
         update_ivf = bool((assign >= 0).any())
         if update_ivf and "v_counts" not in dc:
             return False
+        place = None
         if update_ivf:
-            # check virtual-window capacity BEFORE mutating anything
-            add_counts = np.bincount(assign[assign >= 0],
-                                     minlength=self.nlist)
-            new_counts = dc["v_counts"] + add_counts
-            if (new_counts > dc["v_capacity"]).any():
+            # placement + capacity check BEFORE mutating anything (shared
+            # with the sharded delta-add: models/ivf.append_placement)
+            place = append_placement(assign, dc["v_counts"], dc["v_vstart"],
+                                     dc["cap_v"], dc["v_capacity"])
+            if place is None:
                 return False
 
         cw = np.asarray(self.codewords, dtype=np.float32)
@@ -452,17 +470,8 @@ class Rii:
                                            norms_j[:, None])
 
         if update_ivf:
-            # place each new id at its bucket's contiguous tail (members of
-            # bucket b always occupy [vstart[b]*cap_v, ... + counts[b]));
-            # append-only ids keep the ascending-within-bucket invariant
-            vstart = dc["v_vstart"]
-            counts = dc["v_counts"]
-            cap_v = dc["cap_v"]
-            perm = np.argsort(assign, kind="stable")
-            srt = assign[perm]
-            offs = np.arange(k, dtype=np.int64) - np.searchsorted(srt, srt)
-            slots = vstart[srt] * cap_v + counts[srt] + offs
-            slots_j = jnp.asarray(slots.astype(np.int32))
+            perm = place["perm"]
+            slots_j = jnp.asarray(place["slots"].astype(np.int32))
             ids_new = jnp.asarray((n0 + perm).astype(np.int32))
             dc["order_g"] = _set_rows(dc["order_g"], slots_j, ids_new)
             dc["norms_g"] = _set_rows(dc["norms_g"], slots_j,
@@ -479,23 +488,11 @@ class Rii:
             if "codes_g" in dc:
                 dc["codes_g"] = _set_rows(dc["codes_g"], slots_j,
                                           codes_j[jnp.asarray(perm)])
-            dc["v_counts"] = new_counts
+            dc["v_counts"] = place["new_counts"]
             if "vlen_g" in dc:
-                # recompute the affected windows' member counts on host
-                touched = np.unique(srt)
-                wins, vls = [], []
-                for b in touched:
-                    nwin = int(-(-dc["v_capacity"][b] // cap_v))
-                    w0 = int(vstart[b])
-                    fill = np.clip(new_counts[b]
-                                   - np.arange(nwin, dtype=np.int64) * cap_v,
-                                   0, cap_v)
-                    wins.append(np.arange(w0, w0 + nwin, dtype=np.int64))
-                    vls.append(fill)
-                dc["vlen_g"] = _set_rows(
-                    dc["vlen_g"], jnp.asarray(np.concatenate(wins)
-                                              .astype(np.int32)),
-                    jnp.asarray(np.concatenate(vls).astype(np.int32)))
+                dc["vlen_g"] = _set_rows(dc["vlen_g"],
+                                         jnp.asarray(place["wins"]),
+                                         jnp.asarray(place["vls"]))
             # the legacy tight-packed grouped layout has no spare capacity;
             # drop it (dead for querying — the union layout always exists)
             for key in ("order", "slot_cluster", "codes_grouped",
