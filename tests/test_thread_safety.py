@@ -111,3 +111,69 @@ def test_reconfigure_excludes_readers(base):
     # must never happen is a crash from a deleted/donated device buffer.
     for exc in errors:
         assert isinstance(exc, AssertionError), exc
+
+
+def test_sharded_queries_race_delta_adds(base):
+    """ShardedRii: concurrent query_batch against O(batch) delta adds (the
+    donated sharded scatters) must stay valid and end bit-identical to a
+    fresh wrapper over the same host state."""
+    from rii_tpu.parallel import ShardedRii
+
+    pq, X, N = base
+    e = Rii(pq)
+    e.add_configure(X[:N], nlist=50, iter=3)
+    sr = ShardedRii(e)
+    sr.query_batch(np.ascontiguousarray(X[:8]), topk=5)  # warm
+
+    errors = []
+    stop = threading.Event()
+
+    def reader():
+        rng = np.random.RandomState(threading.get_ident() % 2**31)
+        try:
+            while not stop.is_set():
+                q = np.ascontiguousarray(X[rng.randint(0, N, size=4)])
+                ids, dists = sr.query_batch(q, topk=5)
+                assert (ids >= 0).all() and (ids < e.N).all()
+                assert np.isfinite(dists).all()
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    readers = [threading.Thread(target=reader) for _ in range(3)]
+    for t in readers:
+        t.start()
+    try:
+        for i in range(6):
+            lo = N + 250 * i
+            sr.add(X[lo:lo + 250])
+    finally:
+        stop.set()
+        for t in readers:
+            t.join(timeout=60)
+    assert not errors, errors
+    assert sr._n_dev == N + 1500
+
+    ref = ShardedRii(e)  # fresh wrapper over the SAME mutated engine
+    q = np.ascontiguousarray(X[50:66])
+    ids_a, d_a = sr.query_batch(q, topk=10)
+    ids_b, d_b = ref.query_batch(q, topk=10)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(d_a, d_b, rtol=1e-6)
+
+
+def test_sharded_stale_view_self_heals(base):
+    """Mutating the wrapped engine directly leaves the sharded view stale;
+    the next wrapper add must detect it (n0 != _n_dev) and refresh rather
+    than scatter past the hole."""
+    from rii_tpu.parallel import ShardedRii
+
+    pq, X, N = base
+    e = Rii(pq)
+    e.add_configure(X[:N], nlist=50, iter=3)
+    sr = ShardedRii(e)
+    e.add(X[N:N + 300])          # direct engine mutation: sr now stale
+    sr.add(X[N + 300:N + 500])   # wrapper add must repair via refresh
+    assert sr._n_dev == e.N == N + 500
+    qn = np.ascontiguousarray(X[N:N + 4])
+    ids, _ = sr.query_batch(qn, topk=1)
+    assert (ids[:, 0] >= N).all()  # the direct-add rows are searchable
