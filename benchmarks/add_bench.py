@@ -45,6 +45,10 @@ def main():
     for n in ns:
         e = Rii(pq)
         e.decoded_cache_budget = 8 << 30
+        # vector-reserve semantics: pre-size for the adds so every batch
+        # takes the O(batch) scatter path (without it, an N at an exact
+        # power of two pays the amortized doubling rebuild on the first add)
+        e.reserve(n + 3 * n_add)
         t0 = time.perf_counter()
         step = 1 << 20
         codes = np.empty((n, M), np.uint8)
@@ -104,6 +108,7 @@ def main():
             del e
             e2 = Rii(pq)
             e2.decoded_cache_budget = 8 << 30
+            e2.reserve(n + 3 * n_add)
             e2._add_codes(codes, False)
             e2._centers = centers
             e2._assign_chunks = [assigns]

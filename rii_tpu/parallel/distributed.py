@@ -138,8 +138,12 @@ class ShardedRii:
         use_dec_opt = self._use_decoded_opt in (None, True)
         block = 16384 if (self._use_pallas() and use_dec_opt) else 1024
         # growth headroom: spare tail rows (+inf norms, so scans ignore them)
-        # that O(batch) delta-adds fill before forcing a rebuild
-        want = max(n, 1) + int(np.ceil(max(n, 1) * self.growth_headroom))
+        # that O(batch) delta-adds fill before forcing a rebuild; an
+        # engine.reserve() call extends it to the reservation
+        gh = self.growth_headroom
+        if getattr(engine, "_cap_reserve", 0) > n > 0:
+            gh = max(gh, engine._cap_reserve / n - 1.0)
+        want = max(n, 1) + int(np.ceil(max(n, 1) * gh))
         cap = -(-want // (self.ndev * block)) * (self.ndev * block)
         codes_pad = np.zeros((cap, codes.shape[1]), np.uint8)
         codes_pad[:n] = codes
@@ -195,9 +199,10 @@ class ShardedRii:
             from rii_tpu.models.ivf import build_virtual_layout
             # same 12.5% per-bucket headroom as the single-chip cache so the
             # delta-add path can place rows at each bucket's contiguous tail
+            # (gh already extended to any engine.reserve() reservation)
             ul = build_virtual_layout(codes, norms, engine._assignments(),
                                       engine.nlist, pad_to=8 * self.ndev,
-                                      headroom=self.growth_headroom)
+                                      headroom=gh)
             # decode coarse centers on host — do NOT touch engine._ensure_cache
             # here: that would materialize the FULL single-device cache on one
             # chip, defeating sharding at the big-N scales ShardedRii targets

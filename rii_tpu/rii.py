@@ -210,6 +210,7 @@ class Rii:
         self._version = 0
         self._codes_cache = None  # consolidated (N, M) uint8
         self._dc = None  # device cache dict
+        self._cap_reserve = 0  # see reserve()
         # serializes cold-cache builds: QueryServer's dispatcher pool calls
         # query_batch concurrently, and two racing _ensure_cache builds would
         # transiently double device memory and duplicate remote compiles
@@ -354,6 +355,17 @@ class Rii:
                             self._resolve_update_posting_lists_flag(update_posting_lists))
         if self._verbose:
             print(f"The number of codes: {self._n}")
+
+    def reserve(self, n_expected):
+        """Pre-size device caches for growth to ``n_expected`` rows
+        (vector-reserve semantics). The linear cap becomes
+        pow2_at_least(n_expected) and the window layout reserves enough
+        per-bucket slots that subsequent :meth:`add` batches scatter in
+        O(batch) with no rebuild until N exceeds the reservation. Costs the
+        reserved capacity in replica memory up front. Takes effect at the
+        next cache (re)build; returns self."""
+        self._cap_reserve = max(0, int(n_expected))
+        return self
 
     def clear(self):
         """Drop codes, centers, postings, threshold. Codewords are kept."""
@@ -971,7 +983,7 @@ class Rii:
         codes = self._consolidated_codes()
         cw = np.asarray(self.codewords, dtype=np.float32)
         norms = code_norms_np(cw, codes)
-        cap = _pow2_at_least(max(self._n, 1), 1024)
+        cap = _pow2_at_least(max(self._n, self._cap_reserve, 1), 1024)
         block = min(8192, cap)  # pq path: bounds the one-hot decode transient
         block_dec = min(262144, cap)  # decoded replica path: GEMM-friendly
         codes_flat = np.zeros((cap, self.M), dtype=np.uint8)
@@ -1058,9 +1070,13 @@ class Rii:
             # the reference wins the tie
             # 12.5% per-bucket headroom reserves spare window slots so
             # incremental adds place new rows in O(batch) (see
-            # _apply_add_to_cache) instead of rebuilding the layout
+            # _apply_add_to_cache) instead of rebuilding the layout; a
+            # reserve() call scales it to cover the reserved growth
+            h = 0.125
+            if self._cap_reserve > self._n > 0:
+                h = max(h, self._cap_reserve / self._n - 1.0)
             ul = build_virtual_layout(codes, norms, self._assignments(), nlist,
-                                      headroom=0.125)
+                                      headroom=h)
             vreal_c = ul["vreal"]
             cdv_c = centers_dec[np.clip(vreal_c, 0, nlist_pad - 1)]
             cnv_c = np.where(vreal_c >= 0, centers_norms[
@@ -1188,6 +1204,7 @@ class Rii:
 
     def __setstate__(self, state):
         self.__dict__.update(state)
+        self.__dict__.setdefault("_cap_reserve", 0)  # pre-0.3 pickles
         self._dc = None
         self._cache_lock = threading.Lock()
         self._state_lock = _RWLock()

@@ -204,3 +204,62 @@ def test_empty_add_keeps_cache():
     ids, _ = e.query_batch(X[:2], topk=3)
     assert e._dc is dc  # same object: no rebuild happened
     assert ids[0, 0] == 0 and ids[1, 0] == 1
+
+
+def test_reserve_keeps_cache_beyond_pow2():
+    """reserve(n_expected) pre-sizes the cap so adds past pow2(N) still take
+    the O(batch) scatter path (vector-reserve semantics)."""
+    rng = np.random.RandomState(29)
+    D = 32
+    # N exactly a power of two: without a reservation the very first add
+    # overflows the linear cap and drops the cache
+    X1 = rng.random((2048, D)).astype(np.float32)
+    X2 = rng.random((600, D)).astype(np.float32)
+    pq = PQ(M=4, Ks=32).fit(X1)
+
+    e0 = Rii(pq)
+    e0.scan_mode = "bf16"
+    e0.add_configure(X1, nlist=32)
+    e0._ensure_cache()
+    e0.add(X2)
+    assert e0._dc is None  # pow2 cap exhausted -> lazy rebuild
+
+    e = Rii(pq)
+    e.scan_mode = "bf16"
+    e.reserve(2048 + 1024)
+    e.add_configure(X1, nlist=32)
+    dc = e._ensure_cache()
+    assert dc["cap"] >= 2048 + 1024
+    e.add(X2)
+    assert e._dc is not None  # reservation absorbed the growth
+    assert e._dc["n_dev"] == 2648
+
+    # results identical to the unreserved engine (after its rebuild)
+    q = np.ascontiguousarray(X2[:8])
+    ids_a, d_a = e.query_batch(q, topk=5, method="linear")
+    ids_b, d_b = e0.query_batch(q, topk=5, method="linear")
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(d_a, d_b, rtol=1e-6)
+
+    # pickle round-trip keeps the reservation
+    import pickle
+    e2 = pickle.loads(pickle.dumps(e))
+    assert e2._cap_reserve == 2048 + 1024
+
+
+def test_reserve_scales_window_headroom():
+    """A large reservation also reserves window slots: posting-list adds up
+    to the reservation stay on the delta path."""
+    rng = np.random.RandomState(31)
+    D = 32
+    X1 = rng.random((2000, D)).astype(np.float32)
+    X2 = rng.random((900, D)).astype(np.float32)  # +45% > default 12.5%
+    pq = PQ(M=4, Ks=32).fit(X1)
+    e = Rii(pq)
+    e.scan_mode = "bf16"
+    e.reserve(3000)
+    e.add_configure(X1, nlist=32)
+    e._ensure_cache()
+    e.add(X2, update_posting_lists=True)
+    assert e._dc is not None, "reserved window headroom should absorb +45%"
+    assert int(e._dc["v_counts"].sum()) == 2900
