@@ -91,7 +91,8 @@ def main():
         e._ensure_cache()
         t_rebuild = time.perf_counter() - t0
         log(f"N={n}: full rebuild {t_rebuild:.2f}s "
-            f"(incremental add is {t_rebuild/max(t_add,1e-9):.0f}x cheaper)")
+            f"(steady-state incremental add is "
+            f"{t_rebuild/max(t_add2,1e-9):.0f}x cheaper)")
 
         # sanity: new ids findable
         ids, _ = e.query_batch(x_add[:4], topk=5, method="linear")
