@@ -41,6 +41,18 @@ class OPQ(PQ):
         super().__init__(M=M, Ks=Ks, verbose=verbose, seed=seed)
         self.rotation_matrix = None  # (D, D) float32
 
+    @classmethod
+    def from_codewords(cls, codewords, rotation_matrix, verbose=False):
+        """Fitted OPQ from existing (M, Ks, Ds) codewords + (D, D) rotation —
+        the migration path for nanopq.OPQ state (pass ``opq.codewords`` and
+        ``opq.R``); codes from the source quantizer decode identically."""
+        opq = super().from_codewords(codewords, verbose=verbose)
+        rot = np.ascontiguousarray(rotation_matrix, dtype=np.float32)
+        d = opq.M * opq.Ds
+        assert rot.shape == (d, d), f"rotation must be ({d}, {d})"
+        opq.rotation_matrix = rot
+        return opq
+
     def fit(self, vecs, iter=20, rotation_iter=10, seed=None,
             rotation_sample=1 << 18):
         """Alternate rotation / codebook updates, then a final full PQ fit.

@@ -120,6 +120,22 @@ class PQ:
 
     # -- training ---------------------------------------------------------
 
+    @classmethod
+    def from_codewords(cls, codewords, verbose=False):
+        """Build a fitted codec from an EXISTING (M, Ks, Ds) codeword array —
+        the migration path for codebooks trained elsewhere (e.g. a nanopq.PQ
+        from a reference deployment: pass ``nanopq_pq.codewords``). Codes
+        produced by the source quantizer decode identically here, so an
+        existing uint8 code database can be ingested via Rii._add_codes
+        without re-encoding."""
+        codewords = np.ascontiguousarray(codewords, dtype=np.float32)
+        assert codewords.ndim == 3, "codewords must be (M, Ks, Ds)"
+        m, ks, ds = codewords.shape
+        pq = cls(M=m, Ks=ks, verbose=verbose)
+        pq.codewords = codewords
+        pq.Ds = ds
+        return pq
+
     def fit(self, vecs, iter=20, seed=None):
         """Train codewords on vecs (N, D) float32. Returns self (chainable)."""
         vecs = np.asarray(vecs)

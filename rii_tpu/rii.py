@@ -336,6 +336,17 @@ class Rii:
         codes = self.fine_quantizer.encode(vecs)
         self._add_codes(codes, self._resolve_update_posting_lists_flag(update_posting_lists))
 
+    def add_codes(self, codes, update_posting_lists="auto"):
+        """Append PRE-ENCODED uint8 PQ codes (N, M). The migration /
+        streaming-ingestion path: codes produced by any quantizer sharing
+        this engine's codewords decode identically, so an existing database
+        from a reference/nanopq deployment (see PQ.from_codewords) is
+        ingested without re-encoding. Returns self."""
+        self._add_codes(
+            np.ascontiguousarray(codes, dtype=np.uint8),
+            self._resolve_update_posting_lists_flag(update_posting_lists))
+        return self
+
     def add_configure(self, vecs, nlist=None, iter=5):
         """add(update_posting_lists=False) then reconfigure. Returns self."""
         self.add(vecs=vecs, update_posting_lists=False)

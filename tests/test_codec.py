@@ -133,3 +133,43 @@ def test_opq_beats_pq_on_correlated_data():
     Xr = opq.rotate(X)
     err_opq = np.mean((opq.decode(opq.encode(X)) - Xr) ** 2)
     assert err_opq < err_pq, (err_opq, err_pq)
+
+
+def test_pq_from_codewords_migration():
+    """from_codewords imports an externally trained codebook (nanopq-style
+    migration): encode/decode/distances identical to the source codec, and
+    a pre-encoded code database ingests via Rii.add_codes without
+    re-encoding."""
+    rng = np.random.RandomState(41)
+    X = rng.random((3000, 32)).astype(np.float32)
+    src = PQ(M=4, Ks=32).fit(X[:1000], iter=5)  # stands in for nanopq.PQ
+
+    pq = PQ.from_codewords(src.codewords)
+    assert (pq.M, pq.Ks, pq.Ds) == (src.M, src.Ks, src.Ds)
+    assert pq == src  # codec equality is codeword equality
+    codes_src = src.encode(X)
+    np.testing.assert_array_equal(pq.encode(X), codes_src)
+    np.testing.assert_allclose(pq.decode(codes_src), src.decode(codes_src))
+
+    # ingest the existing code database, no re-encoding
+    from rii_tpu import Rii
+    e = Rii(pq)
+    e.add_codes(codes_src, update_posting_lists=False)
+    e.reconfigure(nlist=30, iter=3)
+    ids, _ = e.query(X[7], topk=1)
+    e2 = Rii(src).add_configure(X, nlist=30, iter=3)
+    ids2, _ = e2.query(X[7], topk=1)
+    assert ids[0] == ids2[0]
+
+
+def test_opq_from_codewords_migration():
+    rng = np.random.RandomState(43)
+    X = rng.random((2000, 32)).astype(np.float32)
+    src = OPQ(M=4, Ks=32).fit(X, iter=4, rotation_iter=3)
+    opq = OPQ.from_codewords(src.codewords, src.rotation_matrix)
+    np.testing.assert_array_equal(opq.encode(X), src.encode(X))
+    np.testing.assert_allclose(opq.rotate(X[:8]), src.rotate(X[:8]))
+    # wrong rotation shape rejected
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        OPQ.from_codewords(src.codewords, np.eye(16, dtype=np.float32))
