@@ -32,10 +32,17 @@ def main():
     n_clients = int(os.environ.get("INGEST_CLIENTS", 16))
     d = 128
     rng = np.random.RandomState(0)
-    X = rng.random((n0 + n_batches * batch, d)).astype(np.float32)
+    # +1 row for the warm-up add, so every streamed batch keeps the SAME
+    # shape (each distinct batch shape compiles its own scatter variants —
+    # a one-off 9,999-row tail batch measured 12.8 s vs the 350 ms steady
+    # state, purely remote-compile time)
+    X = rng.random((n0 + n_batches * batch + 1, d)).astype(np.float32)
 
     print(f"building index (N={n0}) ...", flush=True)
     e = Rii(PQ(M=32, Ks=256).fit(X[:50_000], iter=5))
+    # vector-reserve: pre-size device caches for the whole stream so every
+    # add below is an O(batch) scatter (no mid-stream rebuild)
+    e.reserve(n0 + n_batches * batch + 1)
     e.add_configure(X[:n0])
     e.query_batch(X[:8], topk=10)     # warm the query compile cache
     e.add(X[n0:n0 + 1])               # warm the incremental-add scatters
