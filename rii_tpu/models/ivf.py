@@ -174,7 +174,8 @@ def build_virtual_layout(codes, norms, assignments, nlist, cap_v=256, pad_to=8,
     }
 
 
-def append_placement(assign, counts, vstart, cap_v, v_capacity):
+def append_placement(assign, counts, vstart, cap_v, v_capacity,
+                     want_vlen=True):
     """Host-side placement for an O(batch) append into a grouped layout
     built by :func:`build_virtual_layout` (shared by the single-chip
     Rii._apply_add_to_cache and ShardedRii._apply_add_sharded so the
@@ -190,8 +191,10 @@ def append_placement(assign, counts, vstart, cap_v, v_capacity):
       perm (k,) stable bucket-sort permutation of the batch,
       slots (k,) int64 grouped-array destinations for the PERMUTED batch,
       new_counts (nlist,) updated per-bucket member counts,
-      wins / vls int32 arrays: the touched windows and their new member
-      counts (the vlen stream update for kernels that mask by count).
+      wins / vls int32 arrays (None unless want_vlen): the touched windows
+      and their new member counts — the vlen stream update for kernels that
+      mask by count; the bf16 window tier masks by +inf norms instead and
+      skips this per-bucket host loop.
     """
     assign = np.asarray(assign)
     assert (assign >= 0).all(), "append_placement needs fully assigned rows"
@@ -205,22 +208,21 @@ def append_placement(assign, counts, vstart, cap_v, v_capacity):
     srt = assign[perm]
     offs = np.arange(k, dtype=np.int64) - np.searchsorted(srt, srt)
     slots = vstart[srt] * cap_v + counts[srt] + offs
-    touched = np.unique(srt)
-    wins, vls = [], []
-    for b in touched:
-        nwin = int(-(-v_capacity[b] // cap_v))
-        w0 = int(vstart[b])
-        fill = np.clip(new_counts[b] - np.arange(nwin, dtype=np.int64) * cap_v,
-                       0, cap_v)
-        wins.append(np.arange(w0, w0 + nwin, dtype=np.int64))
-        vls.append(fill)
-    return {
-        "perm": perm,
-        "slots": slots,
-        "new_counts": new_counts,
-        "wins": np.concatenate(wins).astype(np.int32),
-        "vls": np.concatenate(vls).astype(np.int32),
-    }
+    out = {"perm": perm, "slots": slots, "new_counts": new_counts,
+           "wins": None, "vls": None}
+    if want_vlen:
+        wins, vls = [], []
+        for b in np.unique(srt):
+            nwin = int(-(-v_capacity[b] // cap_v))
+            w0 = int(vstart[b])
+            fill = np.clip(
+                new_counts[b] - np.arange(nwin, dtype=np.int64) * cap_v,
+                0, cap_v)
+            wins.append(np.arange(w0, w0 + nwin, dtype=np.int64))
+            vls.append(fill)
+        out["wins"] = np.concatenate(wins).astype(np.int32)
+        out["vls"] = np.concatenate(vls).astype(np.int32)
+    return out
 
 
 def posting_lists_from_assignments(assignments, nlist):

@@ -126,7 +126,7 @@ class PQ:
         the migration path for codebooks trained elsewhere (e.g. a nanopq.PQ
         from a reference deployment: pass ``nanopq_pq.codewords``). Codes
         produced by the source quantizer decode identically here, so an
-        existing uint8 code database can be ingested via Rii._add_codes
+        existing uint8 code database can be ingested via Rii.add_codes
         without re-encoding."""
         codewords = np.ascontiguousarray(codewords, dtype=np.float32)
         assert codewords.ndim == 3, "codewords must be (M, Ks, Ds)"

@@ -357,7 +357,8 @@ class ShardedRii:
             # with Rii._apply_add_to_cache: models/ivf.append_placement)
             from rii_tpu.models.ivf import append_placement
             place = append_placement(assign, iv["v_counts"], iv["v_vstart"],
-                                     iv["cap_v"], iv["v_capacity"])
+                                     iv["cap_v"], iv["v_capacity"],
+                                     want_vlen="vlen_g" in iv)
             if place is None:
                 return False
 

@@ -452,7 +452,8 @@ class Rii:
             # placement + capacity check BEFORE mutating anything (shared
             # with the sharded delta-add: models/ivf.append_placement)
             place = append_placement(assign, dc["v_counts"], dc["v_vstart"],
-                                     dc["cap_v"], dc["v_capacity"])
+                                     dc["cap_v"], dc["v_capacity"],
+                                     want_vlen="vlen_g" in dc)
             if place is None:
                 return False
 
