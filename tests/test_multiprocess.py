@@ -47,8 +47,21 @@ assert all(set(a.tolist()) == set(b.tolist()) for a, b in zip(iv, ids_s))
 tids = np.sort(rng.choice(n, 500, replace=False)).astype(np.int64)
 it, _ = sr.query_batch(q, topk=5, target_ids=tids)
 assert all(set(r.tolist()) <= set(tids.tolist()) for r in it)
+
+# O(batch) delta-add across processes: replicated updates scatter into the
+# sharded state (per-host local placement), no rebuild, new rows searchable
+n_dev0 = sr._n_dev
+cache0 = sr._scan_cache
+X2 = rng.random((128, d)).astype(np.float32)  # same rows on every host
+sr.add(X2, update_posting_lists=True)
+assert sr._n_dev == n_dev0 + 128
+assert sr._scan_cache is cache0, "delta add must not rebuild"
+ids_n, _ = sr.query_batch(X2[:4], topk=1)
+assert (ids_n[:, 0] >= n).all()
+
 sr.reconfigure(nlist=48, iter=3)
 e2 = Rii(pq); e2.add(X, update_posting_lists=False)
+e2.add(X2, update_posting_lists=False)  # mirror the delta-added rows
 e2.reconfigure(nlist=48, iter=3)
 assert sr.engine.posting_lists == e2.posting_lists, "not bit-identical"
 print(f"[p{pid}] MULTIPROCESS OK", flush=True)
