@@ -323,7 +323,15 @@ class ShardedRii:
         codes = np.ascontiguousarray(codes, np.uint8)
         # exclusive vs in-flight queries: the scatters donate live buffers
         with self.engine._state_lock.write():
-            ok = self._apply_add_sharded(codes, assign, n0)
+            try:
+                ok = self._apply_add_sharded(codes, assign, n0)
+            except Exception:
+                # a scatter failing MID-SEQUENCE (e.g. device OOM) leaves
+                # the sharded state half-updated; rebuild while still
+                # holding the lock so no query can observe it (the host
+                # append succeeded — the rebuilt state includes the batch)
+                self._refresh_locked()
+                return self
         return self if ok else self.refresh()
 
     def _apply_add_sharded(self, codes, assign, n0):

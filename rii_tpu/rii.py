@@ -425,8 +425,14 @@ class Rii:
             # incremental path: place only the new rows into the device
             # cache's spare capacity (O(batch) — the reference's AddCodes is
             # O(new), src/rii.h:158-193); falls back to a lazy full rebuild
-            # on overflow
-            if not self._apply_add_to_cache(codes, assign, n0):
+            # on overflow. A scatter failing MID-SEQUENCE (e.g. device OOM)
+            # leaves the cache half-updated — drop it so no query can
+            # observe the inconsistent state (the host append succeeded).
+            try:
+                ok = self._apply_add_to_cache(codes, assign, n0)
+            except Exception:
+                ok = False
+            if not ok:
                 self._dc = None
         if self._verbose:
             print(f"{codes.shape[0]} new vectors are added. Total: {self._n}")

@@ -263,3 +263,73 @@ def test_reserve_scales_window_headroom():
     e.add(X2, update_posting_lists=True)
     assert e._dc is not None, "reserved window headroom should absorb +45%"
     assert int(e._dc["v_counts"].sum()) == 2900
+
+
+def test_failed_scatter_drops_cache_not_corrupts(monkeypatch):
+    """A scatter failing MID-SEQUENCE (device OOM analog) must drop the
+    cache — never leave it half-updated — and the add itself succeeds."""
+    import rii_tpu.rii as rii_mod
+
+    rng = np.random.RandomState(37)
+    D = 32
+    X1 = rng.random((3000, D)).astype(np.float32)
+    X2 = rng.random((100, D)).astype(np.float32)
+    pq = PQ(M=4, Ks=32).fit(X1)
+    e = Rii(pq)
+    e.scan_mode = "bf16"
+    e.add_configure(X1, nlist=40)
+    e._ensure_cache()
+
+    real = rii_mod._set_rows
+    calls = [0]
+
+    def flaky(arr, idx, rows):
+        calls[0] += 1
+        if calls[0] == 2:  # fail after the first scatter landed
+            raise RuntimeError("RESOURCE_EXHAUSTED (injected)")
+        return real(arr, idx, rows)
+
+    monkeypatch.setattr(rii_mod, "_set_rows", flaky)
+    e.add(X2)  # must not raise: host append succeeds, cache dropped
+    monkeypatch.setattr(rii_mod, "_set_rows", real)
+    assert e._dc is None, "half-updated cache must be dropped"
+    assert e.N == 3100
+    ids, _ = e.query(X2[5], topk=3, method="linear")
+    assert 3005 in ids  # rebuilt lazily, new rows searchable
+
+
+def test_sharded_failed_scatter_rebuilds(monkeypatch):
+    from rii_tpu.parallel import ShardedRii
+    import rii_tpu.rii as rii_mod
+
+    rng = np.random.RandomState(38)
+    D = 32
+    X1 = rng.random((2048, D)).astype(np.float32)
+    X2 = rng.random((128, D)).astype(np.float32)
+    pq = PQ(M=4, Ks=32).fit(X1[:512], iter=3)
+    e = Rii(pq)
+    e.add_configure(X1, nlist=32, iter=3)
+    sr = ShardedRii(e)
+
+    real = rii_mod._set_rows
+    calls = [0]
+
+    def flaky(arr, idx, rows):
+        calls[0] += 1
+        if calls[0] == 2:
+            raise RuntimeError("RESOURCE_EXHAUSTED (injected)")
+        return real(arr, idx, rows)
+
+    monkeypatch.setattr(rii_mod, "_set_rows", flaky)
+    sr.add(X2)  # must not raise; rebuilds under the lock
+    monkeypatch.setattr(rii_mod, "_set_rows", real)
+    assert sr._n_dev == e.N == 2176
+    qn = np.ascontiguousarray(X2[:4])
+    ids, _ = sr.query_batch(qn, topk=1)
+    assert (ids[:, 0] >= 2048).all()  # new rows searchable post-rebuild
+    # results identical to a fresh wrapper
+    ref = ShardedRii(e)
+    q = np.ascontiguousarray(X1[10:18])
+    ids_a, d_a = sr.query_batch(q, topk=5)
+    ids_b, d_b = ref.query_batch(q, topk=5)
+    np.testing.assert_array_equal(ids_a, ids_b)
