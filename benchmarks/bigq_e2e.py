@@ -62,15 +62,23 @@ def main():
     norms_rep = jax.block_until_ready(norms_rep)
     q = jnp.asarray(rng.random((Q, D)).astype(np.float32))
 
-    def timed(loop, args, reps1=4, reps2=64):
+    def timed(loop, args, reps1=4, reps2=64, tries=3):
         _ = jax.block_until_ready(loop(jnp.int32(1), q, *args))
-        t0 = time.perf_counter()
-        _ = jax.block_until_ready(loop(jnp.int32(reps1), q, *args))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _ = jax.block_until_ready(loop(jnp.int32(reps2), q, *args))
-        t2 = time.perf_counter() - t0
-        return (t2 - t1) / (reps2 - reps1)
+        best = None
+        for _try in range(tries):
+            t0 = time.perf_counter()
+            _ = jax.block_until_ready(loop(jnp.int32(reps1), q, *args))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _ = jax.block_until_ready(loop(jnp.int32(reps2), q, *args))
+            t2 = time.perf_counter() - t0
+            dt = (t2 - t1) / (reps2 - reps1)
+            # a jitter burst on the tunneled backend can make t1 >= t2 and
+            # the difference meaningless (observed: negative ms); retry and
+            # keep the smallest POSITIVE estimate
+            if dt > 0 and (best is None or dt < best):
+                best = dt
+        return best if best is not None else float("nan")
 
     @jax.jit
     def loop_keys(reps, qq, dt, nr):
