@@ -57,6 +57,6 @@ from rii_tpu.models.opq import OPQ  # noqa: E402
 from rii_tpu.rii import Rii  # noqa: E402
 from rii_tpu.serving import QueryServer  # noqa: E402
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = ["PQ", "OPQ", "Rii", "QueryServer", "__version__"]
