@@ -179,7 +179,7 @@ def predict_on_mesh(mesh, codewords, centers, codes, block=4096,
 
 
 def reconfigure_on_mesh(engine, mesh, nlist=None, iter=5,
-                        axis_name=DATA_AXIS):
+                        axis_name=DATA_AXIS, on_swap=None):
     """Distributed Rii.reconfigure: the clustering fit and the all-N posting
     assignment run SPMD on the mesh; everything else (sampling rule, seeds,
     threshold refresh) matches Rii.reconfigure exactly
@@ -187,6 +187,10 @@ def reconfigure_on_mesh(engine, mesh, nlist=None, iter=5,
 
     Mutates and returns `engine`. Bit-identical to engine.reconfigure() for
     mesh sizes dividing the canonical group count (see module docstring).
+    `on_swap`, if given, runs inside the same write-lock acquisition as the
+    state swap — ShardedRii uses it to rebuild its shards atomically with
+    the engine mutation, so no query can observe new engine metadata
+    (nlist/threshold) against old sharded arrays.
     """
     n = engine.N
     if nlist is None:
@@ -210,4 +214,6 @@ def reconfigure_on_mesh(engine, mesh, nlist=None, iter=5,
         engine._assign_chunks = [assign.astype(np.int32)]
         engine._bump()
         engine.threshold = engine._analytic_threshold()
+        if on_swap is not None:
+            on_swap()
     return engine

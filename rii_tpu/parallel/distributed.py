@@ -126,6 +126,12 @@ class ShardedRii:
         engine = self.engine
         self.topk_recall = getattr(engine, "topk_recall", None)
         self._scan_cache = {}
+        # snapshot the engine's mutation counter: the delta-add path only
+        # trusts its O(batch) scatters when the engine's version advanced by
+        # EXACTLY the one bump its own _add_codes produced — any interleaved
+        # external mutation (reconfigure() changes assignments at unchanged
+        # N, which the n0 guard alone cannot see) forces a full refresh
+        self._engine_version = engine._version
 
         codes = engine._consolidated_codes()
         from rii_tpu.models.ivf import code_norms_np
@@ -316,15 +322,23 @@ class ShardedRii:
             e._resolve_update_posting_lists_flag(update_posting_lists))
 
     def _append_codes(self, codes, update_flag):
-        # _add_codes returns (n0, assign) captured atomically with the
-        # append — under concurrent adds, reading _code_chunks[-1] here
+        # _add_codes returns (n0, assign, version) captured atomically with
+        # the append — under concurrent adds, reading _code_chunks[-1] here
         # could hand us a DIFFERENT thread's batch
-        n0, assign = self.engine._add_codes(codes, update_flag)
+        n0, assign, ver = self.engine._add_codes(codes, update_flag)
         codes = np.ascontiguousarray(codes, np.uint8)
         # exclusive vs in-flight queries: the scatters donate live buffers
         with self.engine._state_lock.write():
+            if ver != self._engine_version + 1:
+                # some OTHER mutation (external reconfigure/clear/add)
+                # interleaved since our last sync: v_vstart/v_counts may
+                # describe stale assignments even at unchanged N — rebuild
+                self._refresh_locked()
+                return self
             try:
                 ok = self._apply_add_sharded(codes, assign, n0)
+                if ok:
+                    self._engine_version = ver
             except Exception:
                 # a scatter failing MID-SEQUENCE (e.g. device OOM) leaves
                 # the sharded state half-updated; rebuild while still
@@ -426,10 +440,14 @@ class ShardedRii:
 
     def reconfigure(self, nlist=None, iter=5):
         """Distributed reconfigure: PQk-means fit + posting assignment run
-        SPMD on this mesh (parallel/build.py), then shards are re-placed."""
+        SPMD on this mesh (parallel/build.py), then shards are re-placed.
+        The shard rebuild runs inside the SAME write-lock acquisition as the
+        engine-state swap, so a concurrent query can never read new engine
+        metadata (nlist/N/threshold) against old sharded arrays."""
         from rii_tpu.parallel.build import reconfigure_on_mesh
-        reconfigure_on_mesh(self.engine, self.mesh, nlist=nlist, iter=iter)
-        return self.refresh()
+        reconfigure_on_mesh(self.engine, self.mesh, nlist=nlist, iter=iter,
+                            on_swap=self._refresh_locked)
+        return self
 
     # ------------------------------------------------------------------ #
     # query

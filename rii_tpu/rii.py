@@ -342,8 +342,16 @@ class Rii:
         this engine's codewords decode identically, so an existing database
         from a reference/nanopq deployment (see PQ.from_codewords) is
         ingested without re-encoding. Returns self."""
+        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        if codes.size and self.Ks < 256:
+            # out-of-range codes would only raise on host numpy paths; device
+            # gathers (jnp.take) CLIP silently and return plausible-but-wrong
+            # distances — reject at the boundary instead
+            assert int(codes.max()) < self.Ks, (
+                f"code values must be < Ks={self.Ks} "
+                f"(got max {int(codes.max())})")
         self._add_codes(
-            np.ascontiguousarray(codes, dtype=np.uint8),
+            codes,
             self._resolve_update_posting_lists_flag(update_posting_lists))
         return self
 
@@ -390,9 +398,12 @@ class Rii:
             self._bump()
 
     def _add_codes(self, codes, update_flag):
-        """Append a code batch. Returns (n0, assign) captured atomically with
-        the append (ShardedRii's delta placement needs the pair to refer to
-        THIS batch, not whatever chunk lands last under concurrency)."""
+        """Append a code batch. Returns (n0, assign, version) captured
+        atomically with the append (ShardedRii's delta placement needs the
+        triple to refer to THIS batch, not whatever chunk lands last under
+        concurrency; the post-append version lets it detect any OTHER
+        mutation — e.g. an external reconfigure() — interleaved since its
+        last sync and fall back to a full refresh)."""
         codes = np.ascontiguousarray(codes, dtype=np.uint8)
         assert codes.ndim == 2 and codes.shape[1] == self.M
         if update_flag and self._centers is None:
@@ -414,7 +425,12 @@ class Rii:
         c0 = self._centers
         assign = _predict()
         with self._state_lock.write():  # exclusive vs in-flight queries
-            if self._centers is not c0:  # reconfigure raced the predict
+            if self._centers is not c0:  # reconfigure/clear raced the predict
+                if update_flag and self._centers is None:  # clear() won
+                    raise RuntimeError(
+                        "reconfigure() must be called before add(vecs=X, "
+                        "update_posting_lists=True). If this is the first "
+                        "addition, please call add_configure(vecs=X)")
                 assign = _predict()
             self._code_chunks.append(codes)
             self._codes_cache = None
@@ -434,9 +450,10 @@ class Rii:
                 ok = False
             if not ok:
                 self._dc = None
+            version = self._version
         if self._verbose:
             print(f"{codes.shape[0]} new vectors are added. Total: {self._n}")
-        return n0, assign
+        return n0, assign, version
 
     def _apply_add_to_cache(self, codes, assign, n0):
         """Scatter k new rows into the live device cache. Returns False when
