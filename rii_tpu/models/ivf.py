@@ -56,9 +56,13 @@ def build_grouped_layout(codes, norms, assignments, nlist):
     # reference's sequential push_back order (/root/reference/src/rii.h:356-358).
     ids = np.nonzero(in_bucket)[0]
     sorted_ids = ids[np.argsort(assignments[ids], kind="stable")]
-    dst = np.concatenate(
-        [bucket_start[c] + np.arange(counts[c]) for c in range(nlist)]
-    ).astype(np.int64) if ids.size else np.zeros(0, np.int64)
+    # slot = bucket start + rank within bucket; rank is position minus the
+    # bucket's first position in the sorted view (vectorized — no O(nlist)
+    # Python loop: the SIFT1B config is nlist=31623)
+    srt = assignments[sorted_ids]
+    dst = (bucket_start[srt].astype(np.int64)
+           + np.arange(ids.size, dtype=np.int64)
+           - np.searchsorted(srt, srt))
     order[dst] = sorted_ids.astype(np.int32)
 
     codes_grouped = np.zeros((total, m), dtype=np.uint8)
@@ -130,8 +134,10 @@ def build_virtual_layout(codes, norms, assignments, nlist, cap_v=256, pad_to=8,
     vreal = np.full(nlist_v_pad, -1, dtype=np.int32)
     vstart = np.zeros(nlist + 1, dtype=np.int64)  # first virtual bucket of b
     vstart[1:] = np.cumsum(chunks)
-    for b in range(nlist):
-        vreal[vstart[b]:vstart[b + 1]] = b
+    # all layout derivations below are numpy-vectorized — no O(nlist) Python
+    # loops (the SIFT1B config is nlist=31623,
+    # /root/reference/examples/benchmark/run_sift1b.py:72)
+    vreal[:nlist_v] = np.repeat(np.arange(nlist, dtype=np.int32), chunks)
 
     order = np.full(total, -1, dtype=np.int32)
     ids = np.nonzero(in_bucket)[0]
@@ -139,9 +145,12 @@ def build_virtual_layout(codes, norms, assignments, nlist, cap_v=256, pad_to=8,
     # order, /root/reference/src/rii.h:356-358)
     sorted_ids = ids[np.argsort(assignments[ids], kind="stable")]
     if ids.size:
-        dst = np.concatenate([
-            vstart[b] * cap_v + np.arange(counts[b]) for b in range(nlist)
-        ]).astype(np.int64)
+        # slot = bucket's first slot + rank within bucket (see
+        # build_grouped_layout)
+        srt = assignments[sorted_ids]
+        dst = (vstart[srt] * cap_v
+               + np.arange(ids.size, dtype=np.int64)
+               - np.searchsorted(srt, srt))
         order[dst] = sorted_ids.astype(np.int32)
 
     codes_grouped = np.zeros((total, m), dtype=np.uint8)
@@ -152,13 +161,12 @@ def build_virtual_layout(codes, norms, assignments, nlist, cap_v=256, pad_to=8,
 
     # member count per virtual bucket (padding is always a suffix, so a
     # row-index < vlen test reproduces the +inf-norms mask in kernels that
-    # cannot stream the norms)
+    # cannot stream the norms): window j of bucket b holds
+    # clip(counts[b] - j*cap_v, 0, cap_v) members
     vlen = np.zeros(nlist_v_pad, dtype=np.int32)
-    for b in range(nlist):
-        full, rem = divmod(int(counts[b]), cap_v)
-        vlen[vstart[b]:vstart[b] + full] = cap_v
-        if rem:
-            vlen[vstart[b] + full] = rem
+    wb = vreal[:nlist_v].astype(np.int64)
+    win_j = np.arange(nlist_v, dtype=np.int64) - vstart[wb]
+    vlen[:nlist_v] = np.clip(counts[wb] - win_j * cap_v, 0, cap_v)
     return {
         "order": order,
         "codes_grouped": codes_grouped,
@@ -211,17 +219,17 @@ def append_placement(assign, counts, vstart, cap_v, v_capacity,
     out = {"perm": perm, "slots": slots, "new_counts": new_counts,
            "wins": None, "vls": None}
     if want_vlen:
-        wins, vls = [], []
-        for b in np.unique(srt):
-            nwin = int(-(-v_capacity[b] // cap_v))
-            w0 = int(vstart[b])
-            fill = np.clip(
-                new_counts[b] - np.arange(nwin, dtype=np.int64) * cap_v,
-                0, cap_v)
-            wins.append(np.arange(w0, w0 + nwin, dtype=np.int64))
-            vls.append(fill)
-        out["wins"] = np.concatenate(wins).astype(np.int32)
-        out["vls"] = np.concatenate(vls).astype(np.int32)
+        # touched windows + new member counts, vectorized over the batch's
+        # unique buckets (no per-bucket Python loop — nlist can be 31623)
+        ub = np.unique(srt)
+        nwin = -(-np.asarray(v_capacity, np.int64)[ub] // cap_v)
+        wb = np.repeat(ub, nwin)  # bucket of each touched window
+        win_j = (np.arange(int(nwin.sum()), dtype=np.int64)
+                 - np.repeat(np.cumsum(nwin) - nwin, nwin))
+        out["wins"] = (np.asarray(vstart, np.int64)[wb]
+                       + win_j).astype(np.int32)
+        out["vls"] = np.clip(new_counts[wb] - win_j * cap_v,
+                             0, cap_v).astype(np.int32)
     return out
 
 
