@@ -34,8 +34,10 @@ def main():
     jax.config.update("jax_num_cpu_devices", 8)
     assert len(jax.devices()) == 8
 
+    import json
+
     from rii_tpu import PQ, Rii
-    from rii_tpu.parallel import ShardedRii, make_mesh_hc
+    from rii_tpu.parallel import ShardedRii, make_mesh, make_mesh_hc
 
     rng = np.random.RandomState(11)
     N, D = 262144, 64
@@ -77,15 +79,45 @@ def main():
 
     s_hc = ShardedRii(e, mesh=make_mesh_hc(n_hosts=2, n_chips=4),
                       overlap_chunks=4)
-    t = timed(s_hc)
+    t_hc = timed(s_hc)
     ids, d = s_hc.query_batch(q, topk=10)
     assert np.allclose(np.sort(d, 1), np.sort(base[1], 1), rtol=1e-3)
-    log(f"2-D hosts x chips mesh, staged merge: {t*1e3:.2f} ms/batch")
+    log(f"2-D hosts x chips mesh, staged merge: {t_hc*1e3:.2f} ms/batch")
 
     ratio = results[4] / results[1]
     log(f"chunked/unchunked wall-clock ratio: {ratio:.3f} "
         f"(collectives 4x more frequent, no slowdown = overlapped/free)")
     assert ratio < 1.25, ratio
+
+    # --- scaling shape: time/batch and merge volume vs ndev -------------
+    # The scan shards (per-device rows = cap/ndev) while the stage-1 merge
+    # gathers only ndev*Q*topk (key, id) pairs — O(ndev·Q·k), independent of
+    # N. Results must stay bit-identical across mesh sizes (deterministic
+    # probe coverage).
+    Q, K = q.shape[0], 10
+    sweep = {}
+    for nd in (1, 2, 4, 8):
+        s = ShardedRii(e, mesh=make_mesh(nd))
+        t = timed(s)
+        ids, d = s.query_batch(q, topk=K)
+        assert np.array_equal(ids, base[0]) and np.allclose(d, base[1])
+        merge_bytes = nd * Q * K * (4 + 4)  # f32 key + i32 id per candidate
+        scan_bytes = s.cap // nd * D * 2    # per-device bf16 replica read
+        sweep[nd] = {"ms_per_batch": t * 1e3,
+                     "merge_gather_bytes": merge_bytes,
+                     "per_device_scan_bytes": scan_bytes}
+        log(f"ndev={nd}: {t*1e3:7.2f} ms/batch  merge gather "
+            f"{merge_bytes/1024:.0f} KiB vs per-device scan "
+            f"{scan_bytes/1048576:.0f} MiB (ratio "
+            f"{merge_bytes/scan_bytes:.2e})")
+
+    print(json.dumps({
+        "config": {"N": N, "D": D, "Q": Q, "topk": K,
+                   "backend": "cpu-virtual"},
+        "overlap_chunks_ms": {str(k): v * 1e3 for k, v in results.items()},
+        "hc_mesh_ms": t_hc * 1e3,
+        "ndev_sweep": sweep,
+    }))
 
 
 if __name__ == "__main__":

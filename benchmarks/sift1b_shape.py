@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""SIFT1B-config readiness run on ONE chip, synthetic codes.
+
+The reference's billion-scale flow (/root/reference/examples/benchmark/
+run_sift1b.py:61-72) uses M=8, Ks=256, D=128, nlist=sqrt(1e9)~31623. The
+real 255 GB dataset cannot be fetched here (no egress), so this exercises
+the exact CONFIG SHAPE — the big-nlist host layout, the k=31623 PQk-means,
+the 126k-virtual-window IVF — at the largest N one chip's pq tier holds,
+with synthetic codes ingested through the public add_codes migration path
+(what a real 1B deployment sharded 32-64M/chip would do per shard).
+
+Timed stages: add_codes ingest, reconfigure(nlist=31623) [fit 3.16M codes
+to k=31623 + predict all N], first-query cache build (host layout + H2D),
+steady-state query_batch at Q in {8, 64, 512}, O(batch) add(+100k).
+
+Env: SHAPE_N (default 32M), SHAPE_Q_REPS (default 5), SHAPE_NLIST (31623).
+Writes one JSON line to stdout; progress to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from rii_tpu import PQ, Rii
+
+    N = int(os.environ.get("SHAPE_N", 32 * (1 << 20)))
+    NLIST = int(os.environ.get("SHAPE_NLIST", 31623))
+    REPS = int(os.environ.get("SHAPE_Q_REPS", 5))
+    M, Ks, D = 8, 256, 128
+    log(f"device={jax.devices()[0]} N={N} M={M} Ks={Ks} D={D} nlist={NLIST}")
+
+    rng = np.random.RandomState(0)
+    # synthetic codebooks + codes: timing readiness is shape-driven, not
+    # data-driven (recall vs data shape is RECALL_PARITY/tips territory)
+    cw = rng.standard_normal((M, Ks, D // M)).astype(np.float32)
+    pq = PQ.from_codewords(cw)
+    e = Rii(pq)
+    e.scan_mode = "pq"  # the memory-lean tier is the 1B-scale operating point
+
+    out = {"N": N, "nlist": NLIST, "M": M, "Ks": Ks, "D": D, "tier": "pq"}
+
+    t0 = time.perf_counter()
+    chunk = 1 << 22
+    for s in range(0, N, chunk):
+        codes = rng.randint(0, Ks, (min(chunk, N - s), M)).astype(np.uint8)
+        e.add_codes(codes, update_posting_lists=False)
+    out["ingest_s"] = time.perf_counter() - t0
+    log(f"add_codes ingest {N} rows: {out['ingest_s']:.1f}s")
+
+    t0 = time.perf_counter()
+    e.reconfigure(nlist=NLIST)
+    out["reconfigure_s"] = time.perf_counter() - t0
+    log(f"reconfigure(nlist={NLIST}): {out['reconfigure_s']:.1f}s "
+        f"(fit {min(N, NLIST*100)} codes to k={NLIST} + predict {N})")
+
+    q512 = rng.standard_normal((512, D)).astype(np.float32)
+    t0 = time.perf_counter()
+    e.query_batch(q512[:8], topk=10)
+    out["first_query_s"] = time.perf_counter() - t0
+    log(f"first query (cache build + compile): {out['first_query_s']:.1f}s")
+
+    for Q in (8, 64, 512):
+        q = q512[:Q]
+        e.query_batch(q, topk=10)  # warm this batch bucket
+        best = np.inf
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            e.query_batch(q, topk=10)
+            best = min(best, time.perf_counter() - t0)
+        out[f"query_ms_q{Q}"] = best * 1e3
+        out[f"query_us_per_q_q{Q}"] = best * 1e6 / Q
+        log(f"query_batch Q={Q}: {best*1e3:.2f} ms ({best*1e6/Q:.1f} us/q, "
+            f"default L={e._multiple_of_L0_covering_topk(topk=10)})")
+
+    add_codes = rng.randint(0, Ks, (100_000, M)).astype(np.uint8)
+    t0 = time.perf_counter()
+    e.add_codes(add_codes, update_posting_lists=True)
+    out["add_100k_s"] = time.perf_counter() - t0
+    ids, _ = e.query_batch(q512[:8], topk=10)
+    out["post_add_query_ok"] = bool((ids >= 0).all())
+    log(f"O(batch) add(+100k): {out['add_100k_s']:.2f}s; "
+        f"post-add query ok={out['post_add_query_ok']}")
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

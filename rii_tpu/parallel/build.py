@@ -59,6 +59,22 @@ def mesh_groups(ndev):
     return ndev
 
 
+def _resolve_axes(mesh, axis_name):
+    """(axes tuple, ndev) for 1-D or multi-axis meshes. axis_name=None means
+    ALL mesh axes — the 2-D hosts x chips mesh shards the fit/predict rows
+    over both axes (device order is row-major = process-major, so the
+    gathered group order matches the P(axes) sharding order and the
+    bit-identity contract carries over unchanged)."""
+    if axis_name is None:
+        axes = tuple(mesh.axis_names)
+    elif isinstance(axis_name, str):
+        axes = (axis_name,)
+    else:
+        axes = tuple(axis_name)
+    ndev = int(np.prod([mesh.shape[a] for a in axes]))
+    return axes, ndev
+
+
 def make_sharded_pqkmeans_fit(mesh, k, iters, groups, axis_name=DATA_AXIS):
     """Jitted mesh PQk-means fit over group-sharded blocks.
 
@@ -70,8 +86,9 @@ def make_sharded_pqkmeans_fit(mesh, k, iters, groups, axis_name=DATA_AXIS):
     are all-gathered (small: G x k x D) and combined replicated with the
     single-device combine, then the sparse-voting update runs replicated.
     """
-    ndev = mesh.shape[axis_name]
+    axes, ndev = _resolve_axes(mesh, axis_name)
     assert groups % ndev == 0, (groups, ndev)
+    axis_name = axes if len(axes) > 1 else axes[0]
 
     def _local(codes_gb_l, weights_gb_l, centers0, codewords):
         centers = centers0
@@ -111,6 +128,9 @@ def make_sharded_predict(mesh, axis_name=DATA_AXIS):
     fn(codes_blocks (nb, B, M) sharded, weights (nb, B) sharded,
        centers (k, M) replicated, codewords) -> assigns (nb, B) sharded.
     """
+    axes, _ = _resolve_axes(mesh, axis_name)
+    axis_name = axes if len(axes) > 1 else axes[0]
+
     def _local(codes_b_l, weights_b_l, centers, codewords):
         a, _, _, _ = _assign_blocks(codewords, codes_b_l, weights_b_l,
                                     centers, collect=False)
@@ -127,7 +147,7 @@ def make_sharded_predict(mesh, axis_name=DATA_AXIS):
 
 
 def fit_on_mesh(mesh, codewords, codes, k, iters=5, seed=_PQKMEANS_SEED,
-                axis_name=DATA_AXIS):
+                axis_name=None):
     """Mesh PQk-means: same sampling/init/layout as models.pqkmeans_fit.
 
     Returns (centers (k, M) uint8 numpy, assignments (N,) int32 numpy).
@@ -135,7 +155,8 @@ def fit_on_mesh(mesh, codewords, codes, k, iters=5, seed=_PQKMEANS_SEED,
     codes = np.asarray(codes)
     n = codes.shape[0]
     assert 1 <= k <= n, (k, n)
-    ndev = mesh.shape[axis_name]
+    axis_name, ndev = _resolve_axes(mesh, axis_name)
+    axis_name = axis_name if len(axis_name) > 1 else axis_name[0]
     g = mesh_groups(ndev)
     blk, nb = fit_layout(n, groups=g)
     codes_blocks, weights_blocks = _pad_blocks(codes, blk, n_blocks=nb)
@@ -155,14 +176,15 @@ def fit_on_mesh(mesh, codewords, codes, k, iters=5, seed=_PQKMEANS_SEED,
 
 
 def predict_on_mesh(mesh, codewords, centers, codes, block=4096,
-                    axis_name=DATA_AXIS):
+                    axis_name=None):
     """Mesh posting assignment over all codes (same blocking as
     models.pqkmeans_predict, nb padded to the mesh size)."""
     codes = np.asarray(codes)
     n = codes.shape[0]
     if n == 0:
         return np.zeros((0,), dtype=np.int32)
-    ndev = mesh.shape[axis_name]
+    axis_name, ndev = _resolve_axes(mesh, axis_name)
+    axis_name = axis_name if len(axis_name) > 1 else axis_name[0]
     blk = min(block, _pow2_at_least(n, 256))
     nb_raw = -(-n // blk)
     nb = -(-nb_raw // ndev) * ndev
@@ -179,7 +201,7 @@ def predict_on_mesh(mesh, codewords, centers, codes, block=4096,
 
 
 def reconfigure_on_mesh(engine, mesh, nlist=None, iter=5,
-                        axis_name=DATA_AXIS, on_swap=None):
+                        axis_name=None, on_swap=None):
     """Distributed Rii.reconfigure: the clustering fit and the all-N posting
     assignment run SPMD on the mesh; everything else (sampling rule, seeds,
     threshold refresh) matches Rii.reconfigure exactly

@@ -454,8 +454,9 @@ class ShardedRii:
     # ------------------------------------------------------------------ #
 
     def _rotated(self, queries):
-        queries = np.ascontiguousarray(np.atleast_2d(queries),
-                                       dtype=np.float32)
+        from rii_tpu.rii import require_dtype
+        queries = np.ascontiguousarray(
+            np.atleast_2d(require_dtype(queries, np.float32, "queries")))
         from rii_tpu.models.opq import OPQ
         if isinstance(self.engine.fine_quantizer, OPQ):
             queries = self.engine.fine_quantizer.rotate(queries)
@@ -465,7 +466,8 @@ class ShardedRii:
         """(tids_padded jnp (S_pad,) int32 sorted w/ int32-max tail, n, S)."""
         if target_ids is None:
             return None, None, None
-        tids = np.asarray(target_ids)
+        from rii_tpu.rii import require_dtype
+        tids = require_dtype(target_ids, np.int64, "target_ids")
         assert tids.ndim == 1
         tids = np.sort(tids) if sort_target_ids else tids
         s = len(tids)

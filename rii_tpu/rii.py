@@ -60,6 +60,20 @@ _RECONFIGURE_SAMPLE_SEED = 123  # mirrors std::default_random_engine(123), src/r
 _PQKMEANS_SEED = 0  # mirrors mt19937(0), src/pqkmeans.cpp:186
 
 
+def require_dtype(arr, dtype, name):
+    """Strict input contract (the reference binding's ``.noconvert()``,
+    /root/reference/src/main.cpp:18-26): wrong-dtype arrays are REJECTED,
+    never silently cast — a silent f64->f32 cast changes results for a user
+    porting reference code. Accepts any array-like already carrying the
+    exact dtype; returns it as ndarray."""
+    arr = np.asarray(arr)
+    if arr.dtype != dtype:
+        raise TypeError(
+            f"{name} must be {np.dtype(dtype).name} (got {arr.dtype.name}); "
+            f"cast explicitly with .astype(np.{np.dtype(dtype).name})")
+    return arr
+
+
 def _pow2_at_least(n, lo=1):
     v = max(1, lo)
     while v < n:
@@ -342,7 +356,8 @@ class Rii:
         this engine's codewords decode identically, so an existing database
         from a reference/nanopq deployment (see PQ.from_codewords) is
         ingested without re-encoding. Returns self."""
-        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        codes = np.ascontiguousarray(
+            require_dtype(codes, np.uint8, "codes"))
         if codes.size and self.Ks < 256:
             # out-of-range codes would only raise on host numpy paths; device
             # gathers (jnp.take) CLIP silently and return plausible-but-wrong
@@ -585,7 +600,8 @@ class Rii:
         assert 0 < self._n, "No codes to be searched"
         assert 0 < self.nlist, "Posting lists are not available; call reconfigure first"
         assert method in ("auto", "linear", "ivf")
-        queries = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
+        queries = require_dtype(queries, np.float32, "queries")
+        queries = np.ascontiguousarray(np.atleast_2d(queries))
 
         if topk is None:
             topk = self._n
@@ -601,7 +617,7 @@ class Rii:
             len_target_ids = self._n
         else:
             assert isinstance(target_ids, np.ndarray)
-            assert target_ids.dtype == np.int64
+            target_ids = require_dtype(target_ids, np.int64, "target_ids")
             assert target_ids.ndim == 1
             tids = np.sort(target_ids) if sort_target_ids else target_ids
             len_target_ids = len(tids)
@@ -632,20 +648,22 @@ class Rii:
 
     def query_linear(self, q, topk, target_ids=None):
         """Exact ADC linear scan. q: (D,) rotated query. Returns (ids, dists)."""
+        q = require_dtype(q, np.float32, "q")
         with self._state_lock.read():
             ids, dists = self._query_linear_batch(
-                np.ascontiguousarray(np.atleast_2d(q), np.float32), topk,
+                np.ascontiguousarray(np.atleast_2d(q)), topk,
                 None if target_ids is None or len(target_ids) == 0
-                else np.asarray(target_ids))
+                else require_dtype(target_ids, np.int64, "target_ids"))
         return ids[0].astype(np.int64), dists[0].astype(np.float64)
 
     def query_ivf(self, q, topk, target_ids, L):
         """IVF probing scan. q: (D,) rotated query. Returns (ids, dists)."""
+        q = require_dtype(q, np.float32, "q")
         with self._state_lock.read():
             ids, dists = self._query_ivf_batch(
-                np.ascontiguousarray(np.atleast_2d(q), np.float32), topk,
+                np.ascontiguousarray(np.atleast_2d(q)), topk,
                 None if target_ids is None or len(target_ids) == 0
-                else np.asarray(target_ids), L)
+                else require_dtype(target_ids, np.int64, "target_ids"), L)
         return ids[0].astype(np.int64), dists[0].astype(np.float64)
 
     def _query_linear_batch(self, queries, topk, tids):

@@ -175,10 +175,13 @@ class QueryServer:
 
         Raises RuntimeError after stop(); raises queue.Full when max_queue
         backpressure holds for longer than submit_timeout_s."""
-        arr = np.asarray(queries)
+        from rii_tpu.rii import require_dtype
+        arr = require_dtype(queries, np.float32, "queries")
         squeeze = arr.ndim == 1
-        arr = np.ascontiguousarray(np.atleast_2d(arr), dtype=np.float32)
+        arr = np.ascontiguousarray(np.atleast_2d(arr))
         assert arr.shape[0] <= self.max_batch, "mini-batch exceeds max_batch"
+        if target_ids is not None:
+            target_ids = require_dtype(target_ids, np.int64, "target_ids")
         req = _Request(arr, int(topk), L, target_ids, method, squeeze)
         with self._submit_lock:
             if self._stopped:

@@ -64,6 +64,40 @@ e2 = Rii(pq); e2.add(X, update_posting_lists=False)
 e2.add(X2, update_posting_lists=False)  # mirror the delta-added rows
 e2.reconfigure(nlist=48, iter=3)
 assert sr.engine.posting_lists == e2.posting_lists, "not bit-identical"
+
+# --- 2-D hosts x chips mesh with the HOST axis spanning the two REAL
+# processes (process-major device order => mesh row h is host h's local
+# devices): the staged ICI-then-DCN merge crosses a real process boundary.
+# Parity asserted against the 1-D-mesh run above on the SAME engine state.
+from rii_tpu.parallel import make_mesh_hc
+mesh_hc = make_mesh_hc()  # n_hosts = process_count() = 2, n_chips = 4
+assert dict(mesh_hc.shape) == {"hosts": 2, "chips": 4}
+assert all(d.process_index == h for h in range(2)
+           for d in mesh_hc.devices[h]), "host axis must align to processes"
+sr2 = ShardedRii(sr.engine, mesh=mesh_hc)
+ids_1d, d_1d = sr.query_batch(q, topk=5)
+ids_2d, d_2d = sr2.query_batch(q, topk=5)                       # linear
+assert np.array_equal(ids_2d, ids_1d) and np.allclose(d_2d, d_1d)
+iv2, dv2 = sr2.query_ivf_batch(q, topk=5, L=sr.engine.N)        # IVF
+iv1, dv1 = sr.query_ivf_batch(q, topk=5, L=sr.engine.N)
+assert np.allclose(np.sort(dv2, 1), np.sort(dv1, 1), rtol=1e-3)
+it2, _ = sr2.query_batch(q, topk=5, target_ids=tids)            # subset
+it1, _ = sr.query_batch(q, topk=5, target_ids=tids)
+assert np.array_equal(it2, it1)
+n_dev0 = sr2._n_dev
+cache0 = sr2._scan_cache
+X3 = rng.random((128, d)).astype(np.float32)
+sr2.add(X3, update_posting_lists=True)                          # delta-add
+assert sr2._n_dev == n_dev0 + 128
+assert sr2._scan_cache is cache0, "2-D delta add must not rebuild"
+ids_n2, _ = sr2.query_batch(X3[:4], topk=1)
+assert (ids_n2[:, 0] >= n + 128).all()
+sr2.reconfigure(nlist=48, iter=3)                               # reconfigure
+e3 = Rii(pq)
+for batch in (X, X2, X3):
+    e3.add(batch, update_posting_lists=False)
+e3.reconfigure(nlist=48, iter=3)
+assert sr2.engine.posting_lists == e3.posting_lists, "2-D not bit-identical"
 print(f"[p{pid}] MULTIPROCESS OK", flush=True)
 '''
 
