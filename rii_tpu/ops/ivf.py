@@ -39,8 +39,12 @@ def _probe_topk(cscores, w, recall_target):
     provable probe-superset property, RECALL_PARITY.md), approx_max_k in the
     default fast mode: measured ~2.7x cheaper at (Q=64, nlist_pad~4.9k, w=64)
     and the merge stage is already approx in that mode, so the accuracy
-    class is unchanged. Falls back to exact when w is too large a fraction
-    of the row for the approx algorithm to pay off."""
+    class is unchanged. NOTE a missed probe drops a whole bucket — a
+    different failure class from bf16 selection noise (the exact rescore
+    cannot recover it) — so the engine exposes ``Rii.probe_recall`` to force
+    exact probes independently of the merge (measured impact:
+    RECALL_PARITY.md probe A/B). Falls back to exact when w is too large a
+    fraction of the row for the approx algorithm to pay off."""
     n = cscores.shape[-1]
     if recall_target is None or w * 8 > n:
         _, probe = lax.top_k(-cscores, w)
@@ -50,11 +54,13 @@ def _probe_topk(cscores, w, recall_target):
 
 
 @partial(jax.jit, static_argnames=("w", "topk", "cap_u", "nlist_pad",
-                                   "recall_target", "use_pallas", "interpret"))
+                                   "recall_target", "use_pallas",
+                                   "interpret", "probe_recall"))
 def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
                         centers_norms, w, topk, cap_u, nlist_pad,
                         target_mask=None, recall_target=None,
-                        use_pallas=False, interpret=False, probes=None):
+                        use_pallas=False, interpret=False, probes=None,
+                        probe_recall="inherit"):
     """Batched IVF probe via the UNION of the batch's probed buckets.
 
     The TPU-native replacement for the reference's per-query posting-list walk
@@ -106,7 +112,8 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
         cscores = centers_norms[None, :] - 2.0 * jnp.dot(
             q16, centers_dec.T.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32)
-        probe = _probe_topk(cscores, w, recall_target)  # (Q, w)
+        pr = recall_target if probe_recall == "inherit" else probe_recall
+        probe = _probe_topk(cscores, w, pr)  # (Q, w)
 
         # (2) sorted, dup-masked union of probed buckets.
         if qn * w >= nlist_pad:
@@ -245,12 +252,14 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
 
 
 @partial(jax.jit, static_argnames=("w", "topk", "cap_u", "nlist_pad",
-                                   "recall_target", "use_pallas", "interpret"))
+                                   "recall_target", "use_pallas",
+                                   "interpret", "probe_recall"))
 def ivf_union_scan_topk_pq(queries, codes_g, norms_g, order_g, codewords,
                            centers_dec, centers_norms, w, topk, cap_u,
                            nlist_pad, target_mask=None, recall_target=None,
                            vlen=None, cw_padded=None, use_pallas=False,
-                           interpret=False, probes=None):
+                           interpret=False, probes=None,
+                           probe_recall="inherit"):
     """Memory-lean union-bucket IVF over uint8 code windows (no replica).
 
     Same probe/union/merge scaffold as :func:`ivf_union_scan_topk`, but the
@@ -277,7 +286,8 @@ def ivf_union_scan_topk_pq(queries, codes_g, norms_g, order_g, codewords,
         cscores = centers_norms[None, :] - 2.0 * jnp.dot(
             q16, centers_dec.T.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32)
-        probe = _probe_topk(cscores, w, recall_target)  # (Q, w)
+        pr = recall_target if probe_recall == "inherit" else probe_recall
+        probe = _probe_topk(cscores, w, pr)  # (Q, w)
 
         if qn * w >= nlist_pad:
             u = nlist_pad
@@ -421,12 +431,13 @@ def ivf_union_scan_topk_pq(queries, codes_g, norms_g, order_g, codewords,
 
 @partial(jax.jit, static_argnames=("w", "topk", "cap_u", "nlist_pad",
                                    "recall_target", "interpret",
-                                   "codes_grouped"))
+                                   "codes_grouped", "probe_recall"))
 def ivf_union_scan_topk_i8(queries, decoded_g_i8, col_scales, norms_g,
                            order_g, codes, codewords, centers_dec,
                            centers_norms, w, topk, cap_u, nlist_pad,
                            vlen=None, target_mask=None, recall_target=None,
-                           interpret=False, probes=None, codes_grouped=False):
+                           interpret=False, probes=None,
+                           codes_grouped=False, probe_recall="inherit"):
     """Union-bucket IVF over int8 virtual-bucket windows — the middle memory
     tier (cap*D bytes vs bf16's 2x, ~M/D of the pq windows' compute).
 
@@ -462,7 +473,8 @@ def ivf_union_scan_topk_i8(queries, decoded_g_i8, col_scales, norms_g,
         cscores = centers_norms[None, :] - 2.0 * jnp.dot(
             q16, centers_dec.T.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32)
-        probe = _probe_topk(cscores, w, recall_target)  # (Q, w)
+        pr = recall_target if probe_recall == "inherit" else probe_recall
+        probe = _probe_topk(cscores, w, pr)  # (Q, w)
 
         if qn * w >= nlist_pad:
             flat = jnp.arange(nlist_pad, dtype=jnp.int32)

@@ -216,6 +216,13 @@ class Rii:
         # (exact lax.top_k costs ~30x the scoring GEMM on TPU). On CPU the
         # approx path lowers to an exact sort, so tests are exact regardless.
         self.topk_recall = 0.99
+        # IVF probe-selection recall: "inherit" ties it to topk_recall
+        # (approx probes in the fast mode). A missed probe drops a WHOLE
+        # bucket — unrecoverable by the exact rescore, a different failure
+        # class from bf16 selection noise — so None forces exact lax.top_k
+        # probes while keeping the fast approx merge (probe A/B measured in
+        # RECALL_PARITY.md).
+        self.probe_recall = "inherit"
         self._verbose = bool(fine_quantizer.verbose)
         self._code_chunks = []  # list of (n_i, M) uint8
         self._assign_chunks = []  # list of (n_i,) int32; -1 = not in any posting list
@@ -848,7 +855,8 @@ class Rii:
                     topk=topk, cap_u=dc["cap_v"], nlist_pad=dc["nlist_v_pad"],
                     target_mask=tm, recall_target=rt,
                     use_pallas=use_pallas_ivf and u_est >= 2048,
-                    interpret=self._interp())
+                    interpret=self._interp(),
+                    probe_recall=getattr(self, "probe_recall", "inherit"))
             elif "decoded_g_i8" in dc:
                 # int8 windows: half the bf16 DMA traffic; exact rescore from
                 # the uint8 codes (ops/ivf.ivf_union_scan_topk_i8)
@@ -858,7 +866,8 @@ class Rii:
                     dc["centers_dec_v"], dc["centers_norms_v"], w=wv,
                     topk=topk, cap_u=dc["cap_v"], nlist_pad=dc["nlist_v_pad"],
                     vlen=dc.get("vlen_g"), target_mask=tm, recall_target=rt,
-                    interpret=self._interp())
+                    interpret=self._interp(),
+                    probe_recall=getattr(self, "probe_recall", "inherit"))
             else:
                 # memory-lean: uint8 code windows, decoded in-flight (in VMEM
                 # via the fused kernel on hardware)
@@ -871,7 +880,8 @@ class Rii:
                     nlist_pad=dc["nlist_v_pad"], target_mask=tm,
                     recall_target=rt, vlen=dc.get("vlen_g"),
                     cw_padded=dc.get("pallas_cw"), use_pallas=use_pq_pallas,
-                    interpret=self._interp())
+                    interpret=self._interp(),
+                    probe_recall=getattr(self, "probe_recall", "inherit"))
         elif "decoded_flat" in dc:
             # fully query-batched probe over the bf16 replica
             d, i = ivf_scan_topk_decoded(

@@ -378,3 +378,26 @@ def test_i8_window_union_matches_linear_interpret():
     for row in is_:
         assert set(row[row >= 0].tolist()) <= tset
     assert (is_[:, 0] == i_sl[:, 0]).all()
+
+
+def test_probe_recall_knob():
+    """probe_recall=None forces exact probe selection independently of the
+    approx merge (a missed probe drops a whole bucket — ADVICE r3). On CPU
+    approx lowers to exact, so both settings must return identical results;
+    the test pins that the knob threads through every union kernel tier."""
+    import numpy as np
+    from rii_tpu import PQ, Rii
+
+    rng = np.random.RandomState(41)
+    X = rng.random((3000, 32)).astype(np.float32)
+    q = X[:8]
+    for mode in ("bf16", "int8", "pq"):
+        e = Rii(fine_quantizer=PQ(M=4, Ks=32).fit(X[:512], iter=3))
+        e.scan_mode = mode
+        e.add_configure(X, nlist=48, iter=3)
+        ids_a, d_a = e.query_batch(q, topk=5, L=300, method="ivf")
+        e.probe_recall = None
+        e._bump()  # new jit key path only; cache layout unchanged
+        ids_b, d_b = e.query_batch(q, topk=5, L=300, method="ivf")
+        assert np.array_equal(ids_a, ids_b), mode
+        np.testing.assert_allclose(d_a, d_b, rtol=0, atol=0)
