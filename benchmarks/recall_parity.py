@@ -1,8 +1,8 @@
 #!/usr/bin/env python
 """Recall-parity study vs the reference's exact IVF semantics.
 
-Builds a SIFT1M-shaped index on clustered synthetic data (real datasets are
-blocked by zero egress) and compares, at equal candidate budget L:
+Builds a SIFT1M-shaped index on synthetic data (real datasets are blocked
+by zero egress) and compares, at equal candidate budget L:
 
 - the NumPy oracle of the reference's exact candidate walk
   (rii_tpu/utils/oracle.py — /root/reference/src/rii.h:244-326 semantics), vs
@@ -12,9 +12,18 @@ for full-database and subset (target_ids) queries. Reports recall@1/@10
 against exact f32 ground truth and the ADC distance-dominance rate (the
 provable superset property: engine's i-th distance <= oracle's i-th).
 
+Round-4 scope (VERDICT item 2): every SHIPPING tier goes through the study
+— default bf16 windows (fused subset penalty stream), int8 windows, uint8
+pq windows — plus a probe A/B (approx_max_k probe selection vs exact
+lax.top_k probes, Rii.probe_recall) quantifying the missed-probe failure
+class (round-3 ADVICE). Latency columns are dispatch-inclusive host wall
+time; device-resident kernel times for the same tiers live in
+benchmarks/ivf_modes.py output (both cited in RECALL_PARITY.md).
+
 Writes the markdown table to stdout; redirect into RECALL_PARITY.md to commit.
 
-Env: BENCH_N (default 1M on accelerator / 100k CPU), BENCH_Q (default 64).
+Env: BENCH_N (default 1M on accelerator / 100k CPU), BENCH_Q (default 64),
+BENCH_DATA (clustered|uniform), BENCH_CODEC (pq|opq).
 """
 
 import os
@@ -91,22 +100,28 @@ def main():
     on_accel = jax.default_backend() != "cpu"
     N = int(os.environ.get("BENCH_N", 1_000_000 if on_accel else 100_000))
     Q = int(os.environ.get("BENCH_Q", 64))
+    data = os.environ.get("BENCH_DATA", "clustered")
+    codec = os.environ.get("BENCH_CODEC", "pq")
     D, M, Ks = 128, 32, 256
     nlist = 1000 if N >= 500_000 else max(32, int(np.sqrt(N)))
-    log(f"N={N} D={D} M={M} Ks={Ks} nlist={nlist} Q={Q} "
-        f"backend={jax.default_backend()}")
+    log(f"N={N} D={D} M={M} Ks={Ks} nlist={nlist} Q={Q} data={data} "
+        f"codec={codec} backend={jax.default_backend()}")
 
-    X = make_clustered(N, D, n_clusters=max(64, N // 200), seed=7)
+    if data == "clustered":
+        X = make_clustered(N, D, n_clusters=max(64, N // 200), seed=7)
+    else:
+        X = np.random.RandomState(7).random((N, D)).astype(np.float32)
     rng = np.random.RandomState(11)
     qidx = rng.choice(N, Q, replace=False)
     queries = (X[qidx] + 0.05 * rng.normal(0, 1, (Q, D))).astype(np.float32)
 
-    from rii_tpu import PQ, Rii
+    from rii_tpu import OPQ, PQ, Rii
     from rii_tpu.utils.oracle import query_ivf_oracle
 
     t0 = time.perf_counter()
-    pq = PQ(M=M, Ks=Ks).fit(X[rng.choice(N, min(N, 100_000), replace=False)],
-                            iter=10)
+    cls = OPQ if codec == "opq" else PQ
+    pq = cls(M=M, Ks=Ks).fit(X[rng.choice(N, min(N, 100_000), replace=False)],
+                             iter=10)
     e = Rii(pq)
     e.add_configure(X, nlist=nlist, iter=5)
     log(f"build: {time.perf_counter()-t0:.1f}s (nlist={e.nlist}, L0={e.L0})")
@@ -123,46 +138,101 @@ def main():
     Ls = [1000, 2000, 5000, 10000] if N >= 500_000 else \
         [N // 100, N // 50, N // 20, N // 10]
 
+    # queries in codec space for the oracle (OPQ codewords live in rotated
+    # space; rotation is orthonormal so ids/ranks are directly comparable)
+    from rii_tpu.models.opq import OPQ as _OPQ
+    q_oracle = (e.fine_quantizer.rotate(queries)
+                if isinstance(e.fine_quantizer, _OPQ) else queries)
+
+    def oracle_run(subset, L):
+        o_ids, o_d = [], []
+        for q in q_oracle:
+            i_, d_ = query_ivf_oracle(
+                q, 10, L, e.codewords, e.coarse_centers, pl, codes,
+                target_ids=tids if subset else None)
+            o_ids.append(i_)
+            o_d.append(d_)
+        return o_ids, o_d
+
+    def engine_run(subset, L):
+        kw = dict(target_ids=tids) if subset else {}
+        e.query_batch(queries, topk=10, L=L, method="ivf", **kw)  # warmup
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            e_ids, e_d = e.query_batch(queries, topk=10, L=L, method="ivf",
+                                       **kw)
+            best = min(best, time.perf_counter() - t0)
+        if subset:
+            for r_ in e_ids:
+                assert set(r_[r_ >= 0].tolist()) <= tset
+        return e_ids, e_d, best
+
+    def make_row(tag, tier, L, oracle, eng):
+        o_ids, o_d = oracle
+        e_ids, e_d, t_engine = eng
+        # per-(query, rank) distance dominance. Fast mode scores the
+        # cross term in bf16 (documented accuracy class), so the
+        # tolerance is bf16-relative; the exact mode below pins f32.
+        dom = np.mean([
+            e_d[i][:len(o_d[i])] <= o_d[i] * (1 + 5e-3) + 1e-6
+            for i in range(Q)])
+        gt = gt10_sub if "subset" in tag else gt10
+        row = {
+            "case": tag, "tier": tier, "L": L,
+            "oracle_r1": recall(o_ids, gt, 1),
+            "engine_r1": recall(e_ids, gt, 1),
+            "oracle_r10": recall(o_ids, gt, 10),
+            "engine_r10": recall(e_ids, gt, 10),
+            "dominance": dom,
+            "engine_ms_q": t_engine / Q * 1e3,
+        }
+        rows.append(row)
+        log(row)
+        return row
+
+    def set_tier(mode):
+        e.scan_mode = mode
+        e._bump()
+        e._ensure_cache()
+
     rows = []
+    oracles = {}
     for subset in (False, True):
         tag = f"subset |S|={len(tids)}" if subset else f"full N={N}"
         for L in Ls:
             if L > (len(tids) if subset else N):
                 continue
-            o_ids, o_d = [], []
-            for q in queries:
-                i_, d_ = query_ivf_oracle(
-                    q, 10, L, e.codewords, e.coarse_centers, pl, codes,
-                    target_ids=tids if subset else None)
-                o_ids.append(i_)
-                o_d.append(d_)
-            kw = dict(target_ids=tids) if subset else {}
-            e.query_batch(queries, topk=10, L=L, method="ivf", **kw)  # warmup
-            t0 = time.perf_counter()
-            e_ids, e_d = e.query_batch(queries, topk=10, L=L, method="ivf",
-                                       **kw)
-            t_engine = time.perf_counter() - t0
-            # per-(query, rank) distance dominance. Fast mode scores the
-            # cross term in bf16 (documented accuracy class), so the
-            # tolerance is bf16-relative; the exact mode below pins f32.
-            dom = np.mean([
-                e_d[i][:len(o_d[i])] <= o_d[i] * (1 + 5e-3) + 1e-6
-                for i in range(Q)])
-            gt = gt10_sub if subset else gt10
-            row = {
-                "case": tag, "L": L,
-                "oracle_r1": recall(o_ids, gt, 1),
-                "engine_r1": recall(e_ids, gt, 1),
-                "oracle_r10": recall(o_ids, gt, 10),
-                "engine_r10": recall(e_ids, gt, 10),
-                "dominance": dom,
-                "engine_ms_q": t_engine / Q * 1e3,
-            }
-            rows.append(row)
-            log(row)
-            if subset:
-                for r_ in e_ids:
-                    assert set(r_[r_ >= 0].tolist()) <= tset
+            oracles[(subset, L)] = oracle_run(subset, L)
+            make_row(tag, "default", L, oracles[(subset, L)],
+                     engine_run(subset, L))
+
+    # --- every shipping tier through the SAME oracle (VERDICT item 2):
+    # int8 windows (+ exact code rescore) and uint8 pq windows, full+subset
+    L_tier = Ls[2]
+    for tier in ("int8", "pq"):
+        set_tier(tier)
+        for subset in (False, True):
+            tag = f"subset |S|={len(tids)}" if subset else f"full N={N}"
+            make_row(tag, tier, L_tier, oracles[(subset, L_tier)],
+                     engine_run(subset, L_tier))
+    set_tier("auto")
+
+    # --- probe A/B: approx_max_k probe selection (default) vs exact
+    # lax.top_k probes (probe_recall=None) — the missed-probe failure class
+    # (round-3 ADVICE). Merge stays approx in both arms.
+    ab = []
+    for subset in (False, True):
+        tag = f"subset |S|={len(tids)}" if subset else f"full N={N}"
+        for L in (Ls[0], Ls[2]):
+            e.probe_recall = "inherit"
+            r_apx = make_row(tag, "probe=approx", L, oracles[(subset, L)],
+                             engine_run(subset, L))
+            e.probe_recall = None
+            r_ex = make_row(tag, "probe=exact", L, oracles[(subset, L)],
+                            engine_run(subset, L))
+            ab.append((tag, L, r_apx, r_ex))
+        e.probe_recall = "inherit"
 
     # exact mode (topk_recall=None, f32 selection end-to-end): per-rank
     # distance dominance must hold at f32 tolerance — the provable form of
@@ -189,14 +259,26 @@ def main():
           "mode.\n")
     print(f"Exact mode (topk_recall=None, f32): per-rank dominance at "
           f"L={L_ex} = **{dom_exact:.4f}**.\n")
-    print("| case | L | recall@1 oracle | recall@1 rii-tpu | recall@10 oracle "
-          "| recall@10 rii-tpu | dominance | rii-tpu ms/query |")
-    print("|---|---|---|---|---|---|---|---|")
+    print("| case | tier | L | recall@1 oracle | recall@1 rii-tpu "
+          "| recall@10 oracle | recall@10 rii-tpu | dominance "
+          "| rii-tpu ms/query |")
+    print("|---|---|---|---|---|---|---|---|---|")
     for r in rows:
-        print(f"| {r['case']} | {r['L']} | {r['oracle_r1']:.3f} | "
-              f"{r['engine_r1']:.3f} | {r['oracle_r10']:.3f} | "
-              f"{r['engine_r10']:.3f} | {r['dominance']:.3f} | "
-              f"{r['engine_ms_q']:.3f} |")
+        print(f"| {r['case']} | {r['tier']} | {r['L']} | "
+              f"{r['oracle_r1']:.3f} | {r['engine_r1']:.3f} | "
+              f"{r['oracle_r10']:.3f} | {r['engine_r10']:.3f} | "
+              f"{r['dominance']:.3f} | {r['engine_ms_q']:.3f} |")
+    print()
+    print("Probe A/B (approx_max_k probes vs exact lax.top_k probes, "
+          "merge approx in both):")
+    print("| case | L | recall@10 approx | recall@10 exact | delta "
+          "| ms/q approx | ms/q exact |")
+    print("|---|---|---|---|---|---|---|")
+    for tag, L, ra, rx in ab:
+        print(f"| {tag} | {L} | {ra['engine_r10']:.3f} | "
+              f"{rx['engine_r10']:.3f} | "
+              f"{rx['engine_r10']-ra['engine_r10']:+.3f} | "
+              f"{ra['engine_ms_q']:.3f} | {rx['engine_ms_q']:.3f} |")
 
 
 if __name__ == "__main__":

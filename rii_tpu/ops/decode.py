@@ -28,6 +28,25 @@ def onehot_decode(codes, codewords, dtype=jnp.float32, precision=lax.Precision.H
     return dec.reshape(b, -1)
 
 
+def onehot_decode_exact(codes, codewords):
+    """EXACT f32 decode at bf16 one-hot traffic.
+
+    0 and 1 are exactly representable in bf16, so a bf16 one-hot contracted
+    against the FULL-PRECISION f32 codewords (HIGHEST precision, f32
+    accumulate) reproduces the f32 gather-decode bit-for-bit while the big
+    (B, M, Ks) one-hot tensor moves at half the bytes of the f32 variant.
+    Used by the candidate-rescore paths, where distances must be exact ADC
+    (the architecture invariant) but B = Q * k_fetch can reach ~20k rows.
+    """
+    b = codes.shape[0]
+    ks = codewords.shape[1]
+    oh = jax.nn.one_hot(codes, ks, dtype=jnp.bfloat16)  # (B, M, Ks) of 0/1
+    dec = jnp.einsum("bmk,mkd->bmd", oh, codewords.astype(jnp.float32),
+                     precision=lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    return dec.reshape(b, -1)
+
+
 def build_decoded_cache(codes, codewords, block=4096, dtype=jnp.bfloat16):
     """Decode the whole (cap, M) code array to a (cap, D) bf16 replica.
 

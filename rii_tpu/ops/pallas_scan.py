@@ -586,7 +586,10 @@ def replica_i8_scan_topk_t(queries, decoded_i8_t, col_scales, norms_rep,
     stored (D, cap) so the selection pass is DMA-bound at HALF the bf16-T
     traffic (see the transposed-replica block comment). The int8 pass selects
     `overfetch * topk` candidates; their exact decoded rows are reconstructed
-    from the uint8 codes and re-scored in f32.
+    from the uint8 codes and re-scored in f32 (onehot_decode_exact: returned
+    distances are exact ADC, same as every other tier — round-4 fix; the
+    earlier bf16 rescore inflated near-neighbor distances by up to ~1%,
+    RECALL_PARITY.md probe study).
     """
     qn = queries.shape[0]
     keys = _replica_keys_i8t(queries, decoded_i8_t, col_scales, norms_rep,
@@ -594,15 +597,14 @@ def replica_i8_scan_topk_t(queries, decoded_i8_t, col_scales, norms_rep,
     k_fetch = min(max(topk * overfetch, topk + 8), keys.shape[1])
     d_a, ids_a = _merge_packed_keys(queries, keys, k_fetch, recall_target)
 
-    from rii_tpu.ops.decode import onehot_decode
+    from rii_tpu.ops.decode import onehot_decode_exact
     safe = jnp.maximum(ids_a, 0)
     cand_codes = jnp.take(codes, safe, axis=0)  # (Q, k_fetch, M)
-    dec = onehot_decode(cand_codes.reshape(qn * k_fetch, -1),
-                        codewords, dtype=jnp.bfloat16,
-                        precision=lax.Precision.DEFAULT
-                        ).reshape(qn, k_fetch, -1)
+    dec = onehot_decode_exact(cand_codes.reshape(qn * k_fetch, -1),
+                              codewords).reshape(qn, k_fetch, -1)
     q = queries.astype(jnp.float32)
-    cross = jnp.einsum("qkd,qd->qk", dec, q.astype(jnp.bfloat16),
+    cross = jnp.einsum("qkd,qd->qk", dec, q,
+                       precision=lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)
     norms_c = jnp.take(norms_rep[0], safe)
     qsq = jnp.sum(q * q, axis=1)
@@ -699,19 +701,18 @@ def replica_i8_scan_topk(queries, decoded_i8, col_scales, norms_col,
     d_a, ids_a = _merge_tile_minima(queries, vmin, amin, k_fetch, recall_target)
 
     # exact rescore of the fetched candidates via one-hot decode (measured
-    # faster than an XLA gather-decode on TPU, whose gather lowering is slow)
-    from rii_tpu.ops.decode import onehot_decode
+    # faster than an XLA gather-decode on TPU, whose gather lowering is slow).
+    # onehot_decode_exact keeps the big one-hot in bf16 (0/1 exact) while
+    # contracting against f32 codewords: exact ADC distances at the bf16
+    # one-hot's HBM traffic (~335 MB at Q=1024, k_fetch=20)
+    from rii_tpu.ops.decode import onehot_decode_exact
     safe = jnp.maximum(ids_a, 0)
     cand_codes = jnp.take(codes, safe, axis=0)  # (Q, k_fetch, M)
-    # bf16 one-hot: the f32 intermediate costs ~650 MB of HBM traffic at
-    # Q=1024, k_fetch=20 (the dominant cost of this path); accuracy stays in
-    # the documented bf16-table-rounding class, norms remain exact f32
-    dec = onehot_decode(cand_codes.reshape(qn * k_fetch, -1),
-                        codewords, dtype=jnp.bfloat16,
-                        precision=lax.Precision.DEFAULT
-                        ).reshape(qn, k_fetch, -1)
+    dec = onehot_decode_exact(cand_codes.reshape(qn * k_fetch, -1),
+                              codewords).reshape(qn, k_fetch, -1)
     q = queries.astype(jnp.float32)
-    cross = jnp.einsum("qkd,qd->qk", dec, q.astype(jnp.bfloat16),
+    cross = jnp.einsum("qkd,qd->qk", dec, q,
+                       precision=lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)
     norms_c = jnp.take(norms_col[:, 0], safe)
     qsq = jnp.sum(q * q, axis=1)
