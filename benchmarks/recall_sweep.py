@@ -1,13 +1,18 @@
 #!/usr/bin/env python
-"""IVF recall-vs-L sweep on clustered synthetic data (SIFT-like structure).
+"""IVF tuning contract: recall vs (wv, L) at several batch sizes.
 
-Uniform-random data has almost no cluster structure, so IVF recall there is a
-worst case; this sweep uses a clustered distribution (the run_sift1m.py
-synthesizer) to characterize the recall/latency dial the reference documents
-(/root/reference/docs/source/tips.rst): raise L for recall, lower it for speed.
+The reference documents the L dial in prose (/root/reference/docs/source/
+tips.rst:11-37); this sweep produces the MEASURED equivalent for the TPU
+engine: for each candidate budget L, the derived virtual probe width wv
+(the w-formula, round(L*nlist_v/N)+3 pow2-bucketed), recall@1/@10 against
+exact f32 ground truth, and dispatch-inclusive latency at Q in {8, 64, 512}.
+Runs on clustered data (SIFT-like structure — the design case) and uniform
+data (no cluster structure — the IVF worst case; SWEEP_DATA=uniform).
 
-Prints one JSON line per L to stdout; details to stderr.
-Env: SWEEP_N (default 1M), SWEEP_Q (default 256).
+Prints one JSON line per L to stdout; details to stderr. Results are wired
+into docs/tips.md (round-4 VERDICT item 6).
+Env: SWEEP_N (default 1M), SWEEP_Q (default 256), SWEEP_DATA
+(clustered|uniform), SWEEP_QS (default "8,64,512").
 """
 
 import json
@@ -41,11 +46,19 @@ def synthesize(n, d, nq, seed=0):
 def main():
     N = int(os.environ.get("SWEEP_N", 1_000_000))
     Qn = int(os.environ.get("SWEEP_Q", 256))
+    data = os.environ.get("SWEEP_DATA", "clustered")
+    lat_qs = [int(x) for x in os.environ.get("SWEEP_QS", "8,64,512").split(",")]
     D, M, Ks = 128, 32, 256
     nlist = 1000 if N >= 500_000 else max(16, int(np.sqrt(N)))
     topk = 10
 
-    X, queries = synthesize(N, D, Qn)
+    if data == "clustered":
+        X, queries = synthesize(N, D, Qn)
+    else:
+        rng = np.random.RandomState(0)
+        X = rng.random((N, D)).astype(np.float32)
+        qidx = rng.choice(N, Qn, replace=False)
+        queries = (X[qidx] + rng.normal(0, 0.01, (Qn, D))).astype(np.float32)
 
     from rii_tpu import PQ, Rii
 
@@ -71,20 +84,33 @@ def main():
     rl10 = float((ids_lin == gt[:, None]).any(1).mean())
     log(f"linear exact-ADC: recall@1={rl1:.3f} recall@10={rl10:.3f}")
 
-    for L in (1000, 2000, 5000, 10000, 20000, 50000):
+    dc = e._ensure_cache()
+    L_default = e._multiple_of_L0_covering_topk(topk=topk)
+    Ls = sorted({L_default, 1000, 2000, 5000, 10000, 20000, 50000})
+    for L in Ls:
         if L > N:
             continue
+        wv = e._probe_width_virtual(L, None, dc)
         ids, _ = e.query_batch(queries, topk=topk, L=L, method="ivf")
         r1 = float((ids[:, :1] == gt[:, None]).any(1).mean())
         r10 = float((ids == gt[:, None]).any(1).mean())
-        e.query_batch(queries[:64], topk=topk, L=L, method="ivf")  # warm
-        t0 = time.perf_counter()
-        e.query_batch(queries[:64], topk=topk, L=L, method="ivf")
-        ms = (time.perf_counter() - t0) / 64 * 1e3
-        log(f"L={L}: recall@1={r1:.3f} recall@10={r10:.3f} {ms:.3f} ms/q (incl dispatch)")
-        print(json.dumps({"L": L, "recall@1": round(r1, 4),
-                          "recall@10": round(r10, 4),
-                          "ms_per_query_incl_dispatch": round(ms, 4)}))
+        lat = {}
+        for q in lat_qs:
+            qs = queries[:q] if q <= Qn else np.tile(
+                queries, (-(-q // Qn), 1))[:q]
+            e.query_batch(qs, topk=topk, L=L, method="ivf")  # warm
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                e.query_batch(qs, topk=topk, L=L, method="ivf")
+                best = min(best, time.perf_counter() - t0)
+            lat[f"us_per_q_Q{q}"] = round(best / q * 1e6, 2)
+        row = {"data": data, "L": L, "wv": int(wv),
+               "default_L": L == L_default,
+               "recall@1": round(r1, 4), "recall@10": round(r10, 4)}
+        row.update(lat)
+        log(row)
+        print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -74,16 +74,18 @@ def main():
 
     for Q in (8, 64, 512):
         q = q512[:Q]
-        e.query_batch(q, topk=10)  # warm this batch bucket
-        best = np.inf
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            e.query_batch(q, topk=10)
-            best = min(best, time.perf_counter() - t0)
-        out[f"query_ms_q{Q}"] = best * 1e3
-        out[f"query_us_per_q_q{Q}"] = best * 1e6 / Q
-        log(f"query_batch Q={Q}: {best*1e3:.2f} ms ({best*1e6/Q:.1f} us/q, "
-            f"default L={e._multiple_of_L0_covering_topk(topk=10)})")
+        for method in ("auto", "ivf"):
+            e.query_batch(q, topk=10, method=method)  # warm this bucket
+            best = np.inf
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                e.query_batch(q, topk=10, method=method)
+                best = min(best, time.perf_counter() - t0)
+            out[f"query_ms_q{Q}_{method}"] = best * 1e3
+            out[f"query_us_per_q_q{Q}_{method}"] = best * 1e6 / Q
+            log(f"query_batch Q={Q} method={method}: {best*1e3:.2f} ms "
+                f"({best*1e6/Q:.1f} us/q, "
+                f"default L={e._multiple_of_L0_covering_topk(topk=10)})")
 
     add_codes = rng.randint(0, Ks, (100_000, M)).astype(np.uint8)
     t0 = time.perf_counter()
