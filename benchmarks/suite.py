@@ -44,9 +44,14 @@ def main():
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--q", type=int, default=None)
     ap.add_argument("--opq", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (sitecustomize overrides "
+                         "JAX_PLATFORMS, so an env var cannot)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from rii_tpu import PQ, OPQ, Rii
 
@@ -82,10 +87,35 @@ def main():
     build_s = time.perf_counter() - t0
     queries = (X[rng.choice(N, Q, replace=False)]
                + rng.normal(0, 0.01, (Q, D))).astype(np.float32)
+    # exact f32 ground truth -> recall columns (the OPQ-vs-PQ contract the
+    # reference documents: slightly slower, slightly more accurate,
+    # /root/reference/docs/source/tutorial.rst:65-68)
+    import importlib.util as _ilu
+    _spec = _ilu.spec_from_file_location("benchmod", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench.py"))
+    _bm = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_bm)
+    gtq = queries[:min(256, len(queries))]
+    gt = _bm.exact_nn_ids(X, gtq)
+
+    def _recall(ids_):
+        ids_ = np.asarray(ids_)[:len(gtq)]
+        return (float((ids_[:, :1] == gt[:, None]).any(1).mean()),
+                float((ids_ == gt[:, None]).any(1).mean()))
+
     ids, spq = timed_query(e, queries, rtt, topk=10, method="linear")
+    r1, r10 = _recall(ids)
     report("sift1m_scale_linear", codec=codec_cls.__name__,
            build_s=round(build_s, 1), ms_per_query=round(spq * 1e3, 5),
-           qps=round(1 / spq, 1))
+           qps=round(1 / spq, 1), recall_at_1=round(r1, 4),
+           recall_at_10=round(r10, 4))
+    ids, spq = timed_query(e, queries, rtt, topk=10, L=5 * e.L0,
+                           method="ivf")
+    r1, r10 = _recall(ids)
+    report("sift1m_scale_ivf_L5L0", codec=codec_cls.__name__,
+           ms_per_query=round(spq * 1e3, 5), qps=round(1 / spq, 1),
+           recall_at_1=round(r1, 4), recall_at_10=round(r10, 4))
 
     # ---- config 3: subset masks ----
     for frac in (0.001, 0.01, 0.10):
