@@ -72,6 +72,37 @@ def main():
     out["first_query_s"] = time.perf_counter() - t0
     log(f"first query (cache build + compile): {out['first_query_s']:.1f}s")
 
+    # device-resident IVF timing (fori differencing: the dev tunnel's ~60 ms
+    # per-call protocol overhead dominates public-API wall time at ANY shape,
+    # ROADMAP 4e — the differenced loop cancels it)
+    import jax.numpy as jnp
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from micro_ivf import timed_loop
+    from rii_tpu.ops.ivf import ivf_union_scan_topk_pq
+    dc = e._ensure_cache()
+    rt = e.topk_recall
+    for Q in (8, 64, 512):
+        qd = jnp.asarray(q512[:Q])
+        L = e._multiple_of_L0_covering_topk(topk=10)
+        wv = e._probe_width_virtual(L, None, dc)
+        kw = dict(w=wv, topk=10, cap_u=dc["cap_v"],
+                  nlist_pad=dc["nlist_v_pad"], recall_target=rt,
+                  use_pallas=True)
+
+        def once(acc, qd_, a, b, c, d2, e2, f2, vl, cwp):
+            dd, _ = ivf_union_scan_topk_pq(qd_ + acc * 1e-30, a, b, c,
+                                           d2, e2, f2, vlen=vl,
+                                           cw_padded=cwp, **kw)
+            return dd[0, 0]
+
+        dt = timed_loop(once, (qd, dc["codes_g"], dc["norms_g"],
+                               dc["order_g"], dc["codewords"],
+                               dc["centers_dec_v"], dc["centers_norms_v"],
+                               dc["vlen_g"], dc["pallas_cw"]))
+        out[f"ivf_device_us_per_q_q{Q}"] = dt / Q * 1e6
+        log(f"device-resident IVF Q={Q} (wv={wv}): {dt*1e3:.3f} ms/batch "
+            f"({dt/Q*1e6:.2f} us/q)")
+
     for Q in (8, 64, 512):
         q = q512[:Q]
         for method in ("auto", "ivf"):

@@ -809,6 +809,166 @@ def pq_scan_topk(queries, codes, norms_col, cw_padded, topk, blk=1024,
 
 
 # --------------------------------------------------------------------------- #
+# TRANSPOSED pq scan — the round-4 rework of the memory-lean tier.
+#
+# The row-major pq kernel above has two scale problems the SIFT1B-shape run
+# exposed at N=32M:
+#   (a) its (cap, M) codes and (cap, 1) norms operands are lane-padded by the
+#       custom call's tiled layout (u8 (N, 8) -> 16x, f32 (N, 1) -> 128x: a
+#       16 GB HLO temp at 32M rows — compile OOM);
+#   (b) its decode and cross GEMMs have <= 128 output columns (D and Q), so
+#       at most ONE of the four MXUs engages (the transposed-replica lesson,
+#       see the block comment above _TBLK).
+# Storing codes TRANSPOSED (M, cap) u8 and norms as a padding-free
+# (cap/blk, blk) f32 grid fixes (a); building the one-hot transposed
+# (Ks, SUBT) via a sublane iota against the (1, SUBT) code row — no relayout
+# — makes database slots the output columns of BOTH GEMMs, fixing (b):
+# (D, Ks) x (Ks, SUBT) decode and (Q, D) x (D, SUBT) cross, SUBT = 2048
+# columns -> all four MXUs at any Q.
+# --------------------------------------------------------------------------- #
+
+_PQT_BLK = 16384  # slots per grid step (out-block last dim must be % 128)
+_PQT_SUB = 2048   # slots decoded per inner step (bounds the one-hot to 1 MB)
+
+
+def _pqt_split(blk):
+    """(nsub, sub): equal _TILE-aligned sub-groups of <= _PQT_SUB slots."""
+    nsub = -(-blk // _PQT_SUB)
+    while blk % nsub or (blk // nsub) % _TILE:
+        nsub += 1
+    return nsub, blk // nsub
+
+
+def _pq_t_kernel(codes_ref, nr_ref, q_ref, cwt_ref, key_ref, *, blk, ks):
+    """One grid step: decode+score SUBT-slot column groups, packed-key tiles.
+
+    codes_ref: (M, blk) u8 — code row m on lanes. nr_ref: (1, nsub, sub) f32
+    (norms reshaped so sub-group s is ROW s — a full-row slice; a (1, blk)
+    block of a multi-row array violates Mosaic's sublane-block rule).
+    q_ref: (Q, D) bf16. cwt_ref: (M, D, Ks) bf16 (transposed block-diagonal
+    codewords). key_ref out: (Q, blk/128) f32 packed keys.
+    """
+    m = cwt_ref.shape[0]
+    qn = q_ref.shape[0]
+    nsub, sub = _pqt_split(blk)
+    k_iota = lax.broadcasted_iota(jnp.int32, (ks, sub), 0)
+    for s in range(nsub):  # static unroll
+        dec_t = None
+        for mm in range(m):  # static unroll: one MXU matmul per subspace
+            row = codes_ref[mm:mm + 1, s * sub:(s + 1) * sub]  # (1, sub) u8
+            oh_t = (k_iota == row.astype(jnp.int32)).astype(
+                jnp.bfloat16)  # (Ks, sub)
+            part = jnp.dot(cwt_ref[mm], oh_t,
+                           preferred_element_type=jnp.float32)  # (D, sub)
+            dec_t = part if dec_t is None else dec_t + part
+        cross = jnp.dot(q_ref[...], dec_t.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)  # (Q, sub)
+        scores = nr_ref[0, s:s + 1, :] - 2.0 * cross
+        nt = sub // _TILE
+        st = jnp.minimum(scores, jnp.float32(_PACK_CLAMP)).reshape(
+            qn, nt, _TILE)
+        lane = lax.broadcasted_iota(jnp.int32, (qn, nt, _TILE), 2)
+        bits = lax.bitcast_convert_type(st, jnp.int32)
+        key = (bits & jnp.int32(~0x7F)) | lane
+        key_ref[:, s * nt:(s + 1) * nt] = jnp.min(
+            lax.bitcast_convert_type(key, jnp.float32), axis=2)
+
+
+def _pqt_blk(cap):
+    """Grid block for the transposed pq scan (same out-block constraint as
+    the NN replica kernel: last dim % 128 == 0 via blk % 16384 == 0, or a
+    single block covering the whole array — VMEM-bounded to 64k slots)."""
+    if cap % _PQT_BLK == 0:
+        return _PQT_BLK
+    assert cap <= 4 * _PQT_BLK and cap % _TILE == 0, (
+        f"cap={cap}: transposed pq scan needs cap % {_PQT_BLK} == 0 or a "
+        f"single-block cap <= {4 * _PQT_BLK} (multiple of {_TILE})")
+    return cap
+
+
+@partial(jax.jit, static_argnames=("topk", "interpret", "recall_target"))
+def pq_scan_topk_t(queries, codes_t, norms2, cwt, topk, interpret=False,
+                   recall_target=None):
+    """Fused TRANSPOSED pq scan over uint8 codes (the big-N linear tier).
+
+    Args:
+        queries: (Q, D) f32.
+        codes_t: (M, cap) u8 (prepare_pq_scan_inputs_t).
+        norms2: (cap/blk, nsub, sub) f32, +inf on padded slots
+            (blk = _pqt_blk(cap), (nsub, sub) = _pqt_split(blk)).
+        cwt: (M, D, Ks) bf16 transposed block-diagonal codewords.
+
+    Returns (dists (Q, topk) f32 ascending, ids (Q, topk) int32, -1 padded).
+    Same accuracy class as pq_scan_topk (bf16 cross, exact f32 norms,
+    packed-key 2^-16 selection).
+    """
+    m, cap = codes_t.shape
+    ks = cwt.shape[2]
+    qn = queries.shape[0]
+    blk = _pqt_blk(cap)
+    nsub, sub = _pqt_split(blk)
+    assert norms2.shape == (cap // blk, nsub, sub), (norms2.shape, cap, blk)
+    nt_total = cap // _TILE
+    qb = queries.astype(jnp.bfloat16)
+    kernel = partial(_pq_t_kernel, blk=blk, ks=ks)
+    keys = pl.pallas_call(
+        kernel,
+        grid=(cap // blk,),
+        in_specs=[
+            pl.BlockSpec((m, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nsub, sub), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, queries.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(cwt.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((qn, blk // _TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qn, nt_total), jnp.float32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(codes_t, norms2, qb, cwt)
+    return _merge_packed_keys(queries, keys, topk, recall_target)
+
+
+def build_padded_codewords_t(codewords):
+    """(M, Ks, Ds) f32 -> (M, D, Ks) bf16: build_padded_codewords transposed
+    (host-side, so no device relayout)."""
+    m, ks, ds = codewords.shape
+    d = m * ds
+    out = np.zeros((m, d, ks), dtype=np.float32)
+    cw = np.asarray(codewords)
+    for mm in range(m):
+        out[mm, mm * ds:(mm + 1) * ds, :] = cw[mm].T
+    return jnp.asarray(out, dtype=jnp.bfloat16)
+
+
+def prepare_pq_scan_inputs_t(codes, norms, codewords, cap=None):
+    """Host-side packing for pq_scan_topk_t.
+
+    Returns (codes_t (M, cap) u8 jnp, norms2 (cap/blk, nsub, sub) f32 jnp,
+    cwt (M, D, Ks) bf16 jnp). Padded slots carry +inf norms (architecture
+    invariant: masking by +inf, never by gather).
+    """
+    n, m = codes.shape
+    if cap is None:
+        cap = -(-max(n, _TILE) // _TILE) * _TILE
+        if cap > 4 * _PQT_BLK:
+            cap = -(-cap // _PQT_BLK) * _PQT_BLK
+    assert cap >= n
+    blk = _pqt_blk(cap)
+    nsub, sub = _pqt_split(blk)
+    ct = np.zeros((m, cap), dtype=np.uint8)
+    ct[:, :n] = np.asarray(codes).T
+    nm = np.full(cap, np.inf, dtype=np.float32)
+    nm[:n] = norms
+    return (jnp.asarray(ct), jnp.asarray(nm.reshape(cap // blk, nsub, sub)),
+            build_padded_codewords_t(codewords))
+
+
+# --------------------------------------------------------------------------- #
 # fused IVF window scan: probed virtual-bucket windows streamed IN PLACE from
 # the grouped replica via scalar-prefetch block indexing — no gather copy, and
 # consecutive duplicate window ids skip the re-DMA entirely.

@@ -46,8 +46,8 @@ from rii_tpu.ops.ivf import (
     ivf_union_scan_topk_pq,
 )
 from rii_tpu.ops.pallas_scan import (
-    pq_scan_topk,
-    prepare_pq_scan_inputs,
+    pq_scan_topk_t,
+    prepare_pq_scan_inputs_t,
     prepare_replica_t,
     quantize_replica_i8,
     replica_i8_scan_topk,
@@ -102,6 +102,13 @@ def _set_rows(arr, idx, rows):
 @partial(jax.jit, donate_argnums=(0,))
 def _set_cols(arr, idx, cols):
     return arr.at[:, idx].set(cols)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _set_flat(arr, idx, vals):
+    """Scatter into an N-D array by FLAT index (row-major reshape is a
+    layout no-op, so donation still updates in place)."""
+    return arr.reshape(-1).at[idx].set(vals).reshape(arr.shape)
 
 
 class _RWLock:
@@ -533,10 +540,10 @@ class Rii:
                                             norms_j[None, :])
             else:
                 dc["decoded_i8"] = _set_rows(dc["decoded_i8"], idx, q_i8)
-        if "pallas_codes" in dc:
-            dc["pallas_codes"] = _set_rows(dc["pallas_codes"], idx, codes_j)
-            dc["pallas_norms"] = _set_rows(dc["pallas_norms"], idx,
-                                           norms_j[:, None])
+        if "pallas_codes_t" in dc:
+            dc["pallas_codes_t"] = _set_cols(dc["pallas_codes_t"], idx,
+                                             codes_j.T)
+            dc["pallas_norms2"] = _set_flat(dc["pallas_norms2"], idx, norms_j)
 
         if update_ivf:
             perm = place["perm"]
@@ -705,11 +712,11 @@ class Rii:
                 d, i = linear_scan_topk_decoded(qd, decoded, dc["norms_flat"],
                                                 topk=topk, block=dc["block_dec"],
                                                 recall_target=rt)
-            elif "pallas_codes" in dc:
-                d, i = pq_scan_topk(qd, dc["pallas_codes"], dc["pallas_norms"],
-                                    dc["pallas_cw"], topk=topk,
-                                    recall_target=rt,
-                                    interpret=self._interp())
+            elif "pallas_codes_t" in dc:
+                d, i = pq_scan_topk_t(qd, dc["pallas_codes_t"],
+                                      dc["pallas_norms2"], dc["pallas_cw"],
+                                      topk=topk, recall_target=rt,
+                                      interpret=self._interp())
             else:
                 d, i = linear_scan_topk(qd, dc["codes_flat"], dc["norms_flat"],
                                         dc["codewords"], topk=topk,
@@ -755,14 +762,14 @@ class Rii:
                                                 topk=topk, mask=jnp.asarray(mask),
                                                 block=dc["block_dec"],
                                                 recall_target=rt)
-            elif "pallas_codes" in dc:
-                # fold the subset mask into the norms column (+inf = excluded)
-                norms_col = np.asarray(dc["pallas_norms"]).copy()
-                norms_col[~mask, 0] = np.inf
-                d, i = pq_scan_topk(qd, dc["pallas_codes"],
-                                    jnp.asarray(norms_col), dc["pallas_cw"],
-                                    topk=topk, recall_target=rt,
-                                    interpret=self._interp())
+            elif "pallas_codes_t" in dc:
+                # fold the subset mask into the norms stream (+inf = excluded)
+                norms2 = np.asarray(dc["pallas_norms2"]).copy()
+                norms2.reshape(-1)[~mask] = np.inf
+                d, i = pq_scan_topk_t(qd, dc["pallas_codes_t"],
+                                      jnp.asarray(norms2), dc["pallas_cw"],
+                                      topk=topk, recall_target=rt,
+                                      interpret=self._interp())
             else:
                 d, i = linear_scan_topk(qd, dc["codes_flat"], dc["norms_flat"],
                                         dc["codewords"], topk=topk,
@@ -1090,13 +1097,15 @@ class Rii:
                 dc["decoded_i8"] = dec_i8
             del decoded
         elif self._use_pallas_scan():
-            # memory-lean TPU path: fused Pallas scan over uint8 codes
-            # (cap is a power of two >= 1024, so divisible by the 1024 block)
-            codes_p, norms_col, cw_padded = prepare_pq_scan_inputs(
+            # memory-lean TPU path: fused TRANSPOSED Pallas scan over uint8
+            # codes — codes (M, cap), norms (nb, nsub, sub): the row-major
+            # (cap, M)/(cap, 1) operands' tiled layouts padded 16x/128x and
+            # OOM'd the 32M-row compile (SIFT1B-shape finding, round 4)
+            codes_t, norms2, cwt = prepare_pq_scan_inputs_t(
                 codes, norms, cw, cap=cap)
-            dc["pallas_codes"] = codes_p
-            dc["pallas_norms"] = norms_col
-            dc["pallas_cw"] = cw_padded
+            dc["pallas_codes_t"] = codes_t
+            dc["pallas_norms2"] = norms2
+            dc["pallas_cw"] = cwt
         if self._centers is not None:
             nlist = self.nlist
             layout = build_grouped_layout(codes, norms, self._assignments(), nlist)

@@ -30,7 +30,7 @@ def test_interpret_linear_matches_cpu_engine(scan_mode):
     e, ref, X, rng = _build(scan_mode)
     dc = e._ensure_cache()
     expect = {"bf16": "decoded_t", "int8": "decoded_i8_t",
-              "pq": "pallas_codes"}[scan_mode]
+              "pq": "pallas_codes_t"}[scan_mode]
     assert expect in dc, (scan_mode, sorted(dc))
     q = X[:8]
     ids, d = e.query_batch(q, topk=5, method="linear")

@@ -172,7 +172,7 @@ def test_incremental_add_pallas_cache_variants():
     X2 = rng.random((150, D)).astype(np.float32)
     pq = PQ(M=4, Ks=32).fit(X1)
     for mode, key in (("bf16", "decoded_t"), ("int8", "decoded_i8_t"),
-                      ("pq", "pallas_codes")):
+                      ("pq", "pallas_codes_t")):
         e = Rii(pq)
         e.scan_mode = mode
         e.pallas_interpret = True
