@@ -65,6 +65,17 @@ def main():
         s *= 4
     sizes.append(N)
 
+    # reference-style TIMED calibration (VERDICT r3 item 9): fit the
+    # threshold poly by measuring real crossovers, then compare its
+    # decisions against the analytic default on the same grid
+    from rii_tpu.rii import estimate_best_threshold_function
+    thr_analytic = e.threshold
+    t0 = time.perf_counter()
+    probes = e.fine_quantizer.decode(e.codes[:100])
+    thr_calib = estimate_best_threshold_function(e, probes)
+    log(f"calibration sweep: {time.perf_counter()-t0:.0f}s; "
+        f"analytic={thr_analytic} calibrated={thr_calib}")
+
     rows, violations = [], 0
     for L in (1000, 5000):
         if L > N:
@@ -78,13 +89,14 @@ def main():
             t_ivf = timed("ivf", L, tids)
             t_auto = timed("auto", L, tids)
             pick = "linear" if e._use_linear(S, L, qn=Q) else "ivf"
+            pick_cal = "linear" if S <= thr_calib(L) else "ivf"
             best = min(t_lin, t_ivf)
             # jitter floor: per-dispatch tunnel RTT variance alone reaches
             # ~0.2 ms/query at Q=64 on the dev backend
             ok = t_auto <= SLACK * best + 0.2
             violations += 0 if ok else 1
             row = dict(L=L, S=S, linear=t_lin, ivf=t_ivf, auto=t_auto,
-                       pick=pick, ok=ok)
+                       pick=pick, pick_cal=pick_cal, ok=ok)
             rows.append(row)
             log(row)
 
@@ -94,13 +106,20 @@ def main():
           f"auto <= {SLACK}x min(linear, ivf) + 0.2 ms/query jitter floor "
           f"(tunneled-dispatch RTT variance). Latencies are ms/query "
           f"including dispatch, best of 5.\n")
-    print("| L | \\|S\\| | linear | ivf | auto (picked) | ok |")
-    print("|---|---|---|---|---|---|")
+    print("| L | \\|S\\| | linear | ivf | auto (picked) | calibrated pick "
+          "| measured best | ok |")
+    print("|---|---|---|---|---|---|---|---|")
     for r in rows:
+        meas = "linear" if r["linear"] <= r["ivf"] else "ivf"
         print(f"| {r['L']} | {r['S']} | {r['linear']:.3f} | {r['ivf']:.3f} "
-              f"| {r['auto']:.3f} ({r['pick']}) | "
+              f"| {r['auto']:.3f} ({r['pick']}) | {r['pick_cal']} | {meas} | "
               f"{'yes' if r['ok'] else 'NO'} |")
     print(f"\nViolations: {violations} / {len(rows)}.")
+    agree = sum(r["pick"] == r["pick_cal"] for r in rows)
+    print(f"Calibrated-vs-analytic decision agreement: {agree} / {len(rows)} "
+          f"grid cells.")
+    print(f"Analytic threshold: `{thr_analytic}`; timed-calibration fit: "
+          f"`{thr_calib}`.")
     if violations:
         sys.exit(1)
 
