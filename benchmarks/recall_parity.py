@@ -250,7 +250,7 @@ def main():
     log(f"exact-mode dominance at L={L_ex}: {dom_exact:.4f}")
 
     print(f"# Recall parity vs reference-exact IVF oracle\n")
-    print(f"Config: clustered synthetic, N={N}, D={D}, M={M}, Ks={Ks}, "
+    print(f"Config: {data} synthetic, codec={codec}, N={N}, D={D}, M={M}, Ks={Ks}, "
           f"nlist={e.nlist}, Q={Q}, backend={jax.default_backend()}.")
     print("Oracle = NumPy reproduction of the reference's exact candidate "
           "walk (src/rii.h:244-326); dominance = fraction of (query, rank) "
