@@ -53,6 +53,26 @@ def _probe_topk(cscores, w, recall_target):
     return probe
 
 
+def _coarse_scores(q_all, q16, centers_dec, centers_norms, exact):
+    """Coarse ADC scores to the (virtual) centers: one small GEMM per batch.
+
+    bf16 in the fast mode. f32 HIGHEST when probe selection is exact: on
+    near-tie center-distance distributions (uniform data, where all nlist
+    center distances sit in a band narrower than bf16's ~0.4% resolution)
+    bf16 rounding reorders probe RANKS, so exact top_k over bf16 scores can
+    still drop a bucket the reference's f32 walk visits — breaking the
+    provable candidate-superset property the exact mode exists to provide
+    (measured: exact-mode dominance 0.9938 on uniform N=1M before this fix,
+    1.0 on clustered where center gaps exceed bf16 eps)."""
+    if exact:
+        return centers_norms[None, :] - 2.0 * jnp.dot(
+            q_all, centers_dec.T.astype(jnp.float32), precision=_PREC,
+            preferred_element_type=jnp.float32)
+    return centers_norms[None, :] - 2.0 * jnp.dot(
+        q16, centers_dec.T.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("w", "topk", "cap_u", "nlist_pad",
                                    "recall_target", "use_pallas",
                                    "interpret", "probe_recall"))
@@ -109,10 +129,9 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
         u = flat.shape[0]
     else:
         # (1) coarse scoring + probe selection: one GEMM for the whole batch.
-        cscores = centers_norms[None, :] - 2.0 * jnp.dot(
-            q16, centers_dec.T.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32)
         pr = recall_target if probe_recall == "inherit" else probe_recall
+        cscores = _coarse_scores(q_all, q16, centers_dec, centers_norms,
+                                 exact=pr is None)
         probe = _probe_topk(cscores, w, pr)  # (Q, w)
 
         # (2) sorted, dup-masked union of probed buckets.
@@ -283,10 +302,9 @@ def ivf_union_scan_topk_pq(queries, codes_g, norms_g, order_g, codewords,
         dup = dup.astype(bool)
         u = flat.shape[0]
     else:
-        cscores = centers_norms[None, :] - 2.0 * jnp.dot(
-            q16, centers_dec.T.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32)
         pr = recall_target if probe_recall == "inherit" else probe_recall
+        cscores = _coarse_scores(q_all, q16, centers_dec, centers_norms,
+                                 exact=pr is None)
         probe = _probe_topk(cscores, w, pr)  # (Q, w)
 
         if qn * w >= nlist_pad:
@@ -470,10 +488,9 @@ def ivf_union_scan_topk_i8(queries, decoded_g_i8, col_scales, norms_g,
         flat = flat.astype(jnp.int32)
         dup = dup.astype(jnp.int32)
     else:
-        cscores = centers_norms[None, :] - 2.0 * jnp.dot(
-            q16, centers_dec.T.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32)
         pr = recall_target if probe_recall == "inherit" else probe_recall
+        cscores = _coarse_scores(q_all, q16, centers_dec, centers_norms,
+                                 exact=pr is None)
         probe = _probe_topk(cscores, w, pr)  # (Q, w)
 
         if qn * w >= nlist_pad:
@@ -572,9 +589,10 @@ def ivf_scan_topk_decoded(queries, decoded, centers_dec, centers_norms,
     n_chunks = -(-n_cand // chunk)
 
     # (1) batched coarse scoring + probe selection: one GEMM for all queries
-    cscores = centers_norms[None, :] - 2.0 * jnp.dot(
-        q_all.astype(jnp.bfloat16), centers_dec.T.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32)
+    # (probes are always exact top_k here; score f32 in exact mode so the
+    # probed set matches the reference's f32 walk even on near-tie centers)
+    cscores = _coarse_scores(q_all, q_all.astype(jnp.bfloat16), centers_dec,
+                             centers_norms, exact=recall_target is None)
     _, probe = lax.top_k(-cscores, w)  # (Q, w)
     starts = jnp.take(bucket_start, probe)  # (Q, w)
     offs = jnp.arange(cap_max, dtype=jnp.int32)

@@ -607,9 +607,11 @@ class ShardedRii:
             my = self._axis_index()
             qn = queries.shape[0]
             q16 = queries.astype(jnp.bfloat16)
-            cs_l = cnorm_l[None, :] - 2.0 * jnp.dot(
-                q16, cdec_l.T.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)  # (Q, nv_l)
+            from rii_tpu.ops.ivf import _coarse_scores
+            # f32 coarse scores in exact mode: bf16 rounding can reorder
+            # probe ranks on near-tie centers (see ops/ivf._coarse_scores)
+            cs_l = _coarse_scores(queries.astype(jnp.float32), q16, cdec_l,
+                                  cnorm_l, exact=rt is None)  # (Q, nv_l)
             cs_all = lax.all_gather(cs_l, self.axes)  # (ndev, Q, nv_l)
             gscore = jnp.swapaxes(cs_all, 0, 1).reshape(qn, self.ndev * nv_l)
             w_eff = min(wv, self.ndev * nv_l)
