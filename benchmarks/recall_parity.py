@@ -234,20 +234,37 @@ def main():
             ab.append((tag, L, r_apx, r_ex))
         e.probe_recall = "inherit"
 
-    # exact mode (topk_recall=None, f32 selection end-to-end): per-rank
-    # distance dominance must hold at f32 tolerance — the provable form of
-    # 'candidate superset => recall >= reference'.
+    # exact mode (topk_recall=None, f32 selection end-to-end): the CANDIDATE
+    # superset property is proved by recomputing the engine's returned ids
+    # through the oracle's OWN dtable (the metric its walk ranks by) and
+    # comparing rank-wise at numerical tolerance — comparing the engine's
+    # device f32 distance VALUES instead conflates the superset claim with
+    # f32 cancellation noise (dist ~1 computed from norm terms ~32 carries
+    # up to ~(||q||^2/dist)*2^-24 ~= 4e-5 relative error, measured; that
+    # accuracy class is reported separately below).
+    from rii_tpu.utils.oracle import adc_np, dtable_np
     e.topk_recall = None
     e.scan_mode = "pq"
     e._bump()
     L_ex = Ls[1]
     o_d_ex = [query_ivf_oracle(q, 10, L_ex, e.codewords, e.coarse_centers,
                                pl, codes)[1] for q in queries]
-    _, e_d_ex = e.query_batch(queries, topk=10, L=L_ex, method="ivf")
-    dom_exact = np.mean([
-        e_d_ex[i][:len(o_d_ex[i])] <= o_d_ex[i] * (1 + 1e-5) + 1e-6
-        for i in range(Q)])
-    log(f"exact-mode dominance at L={L_ex}: {dom_exact:.4f}")
+    e_ids_ex, e_d_ex = e.query_batch(queries, topk=10, L=L_ex, method="ivf")
+    dom_pairs = 0
+    tot_pairs = 0
+    f32_relerr = 0.0
+    for i in range(Q):
+        k = len(o_d_ex[i])
+        d_e64 = np.sort(adc_np(dtable_np(queries[i], e.codewords),
+                               codes[np.asarray(e_ids_ex[i][:k])]))
+        dom_pairs += int((d_e64 <= o_d_ex[i] * (1 + 1e-9) + 1e-9).sum())
+        tot_pairs += k
+        f32_relerr = max(f32_relerr, float(np.max(
+            np.abs(e_d_ex[i][:k] - d_e64) / np.maximum(d_e64, 1e-12))))
+    dom_exact = dom_pairs / tot_pairs
+    log(f"exact-mode dominance at L={L_ex}: {dom_exact:.4f} "
+        f"(engine candidates rescored in the oracle metric); device "
+        f"f32 distance-value max rel err vs oracle: {f32_relerr:.2e}")
 
     print(f"# Recall parity vs reference-exact IVF oracle\n")
     print(f"Config: {data} synthetic, codec={codec}, N={N}, D={D}, M={M}, Ks={Ks}, "
@@ -257,8 +274,12 @@ def main():
           "pairs whose engine ADC distance is <= the oracle's (the provable "
           "superset property), at bf16-class tolerance in the default fast "
           "mode.\n")
-    print(f"Exact mode (topk_recall=None, f32): per-rank dominance at "
-          f"L={L_ex} = **{dom_exact:.4f}**.\n")
+    print(f"Exact mode (topk_recall=None, f32 end-to-end): per-rank candidate "
+          f"dominance at L={L_ex} = **{dom_exact:.4f}** (engine ids rescored "
+          f"through the oracle's own dtable — its walk metric); the "
+          f"engine's device f32 distance values differ from that metric by "
+          f"at most {f32_relerr:.1e} relative (cancellation class "
+          f"~(||q||^2/dist)*2^-24).\n")
     print("| case | tier | L | recall@1 oracle | recall@1 rii-tpu "
           "| recall@10 oracle | recall@10 rii-tpu | dominance "
           "| rii-tpu ms/query |")
