@@ -198,41 +198,44 @@ def main():
 
     rows = []
     oracles = {}
-    for subset in (False, True):
-        tag = f"subset |S|={len(tids)}" if subset else f"full N={N}"
-        for L in Ls:
-            if L > (len(tids) if subset else N):
-                continue
-            oracles[(subset, L)] = oracle_run(subset, L)
-            make_row(tag, "default", L, oracles[(subset, L)],
-                     engine_run(subset, L))
-
-    # --- every shipping tier through the SAME oracle (VERDICT item 2):
-    # int8 windows (+ exact code rescore) and uint8 pq windows, full+subset
-    L_tier = Ls[2]
-    for tier in ("int8", "pq"):
-        set_tier(tier)
+    ab = []
+    scope = os.environ.get("BENCH_SCOPE", "full")  # "exact" = exact-mode only
+    if scope != "exact":
         for subset in (False, True):
             tag = f"subset |S|={len(tids)}" if subset else f"full N={N}"
-            make_row(tag, tier, L_tier, oracles[(subset, L_tier)],
-                     engine_run(subset, L_tier))
-    set_tier("auto")
+            for L in Ls:
+                if L > (len(tids) if subset else N):
+                    continue
+                oracles[(subset, L)] = oracle_run(subset, L)
+                make_row(tag, "default", L, oracles[(subset, L)],
+                         engine_run(subset, L))
 
-    # --- probe A/B: approx_max_k probe selection (default) vs exact
-    # lax.top_k probes (probe_recall=None) — the missed-probe failure class
-    # (round-3 ADVICE). Merge stays approx in both arms.
-    ab = []
-    for subset in (False, True):
-        tag = f"subset |S|={len(tids)}" if subset else f"full N={N}"
-        for L in (Ls[0], Ls[2]):
+        # --- every shipping tier through the SAME oracle (VERDICT item 2):
+        # int8 windows (+ exact code rescore) and uint8 pq windows,
+        # full+subset
+        L_tier = Ls[2]
+        for tier in ("int8", "pq"):
+            set_tier(tier)
+            for subset in (False, True):
+                tag = f"subset |S|={len(tids)}" if subset else f"full N={N}"
+                make_row(tag, tier, L_tier, oracles[(subset, L_tier)],
+                         engine_run(subset, L_tier))
+        set_tier("auto")
+
+        # --- probe A/B: approx_max_k probe selection (default) vs exact
+        # lax.top_k probes (probe_recall=None) — the missed-probe failure
+        # class (round-3 ADVICE). Merge stays approx in both arms.
+        for subset in (False, True):
+            tag = f"subset |S|={len(tids)}" if subset else f"full N={N}"
+            for L in (Ls[0], Ls[2]):
+                e.probe_recall = "inherit"
+                r_apx = make_row(tag, "probe=approx", L,
+                                 oracles[(subset, L)], engine_run(subset, L))
+                e.probe_recall = None
+                r_ex = make_row(tag, "probe=exact", L, oracles[(subset, L)],
+                                engine_run(subset, L))
+                ab.append((tag, L, r_apx, r_ex))
             e.probe_recall = "inherit"
-            r_apx = make_row(tag, "probe=approx", L, oracles[(subset, L)],
-                             engine_run(subset, L))
-            e.probe_recall = None
-            r_ex = make_row(tag, "probe=exact", L, oracles[(subset, L)],
-                            engine_run(subset, L))
-            ab.append((tag, L, r_apx, r_ex))
-        e.probe_recall = "inherit"
 
     # exact mode (topk_recall=None, f32 selection end-to-end): the CANDIDATE
     # superset property is proved by recomputing the engine's returned ids
@@ -247,15 +250,19 @@ def main():
     e.scan_mode = "pq"
     e._bump()
     L_ex = Ls[1]
+    # oracle + rescore run in CODEC space (q_oracle): OPQ codewords live in
+    # rotated space, and the engine rotates internally — comparing in the
+    # unrotated space would rank the engine's ids by a metric it never
+    # optimized (observed as a spurious 0.60 dominance / 34% "rel err").
     o_d_ex = [query_ivf_oracle(q, 10, L_ex, e.codewords, e.coarse_centers,
-                               pl, codes)[1] for q in queries]
+                               pl, codes)[1] for q in q_oracle]
     e_ids_ex, e_d_ex = e.query_batch(queries, topk=10, L=L_ex, method="ivf")
     dom_pairs = 0
     tot_pairs = 0
     f32_relerr = 0.0
     for i in range(Q):
         k = len(o_d_ex[i])
-        d_e64 = np.sort(adc_np(dtable_np(queries[i], e.codewords),
+        d_e64 = np.sort(adc_np(dtable_np(q_oracle[i], e.codewords),
                                codes[np.asarray(e_ids_ex[i][:k])]))
         dom_pairs += int((d_e64 <= o_d_ex[i] * (1 + 1e-9) + 1e-9).sum())
         tot_pairs += k
