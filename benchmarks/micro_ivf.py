@@ -78,7 +78,7 @@ def main():
     e.add_configure(X, nlist=nlist, iter=3)
     log(f"build: {time.perf_counter()-t0:.0f}s nlist={e.nlist} L0={e.L0}")
 
-    dc = e._ensure_cache()
+    dc = e._ensure_legacy_grouped(e._ensure_cache())
     if L is None:
         L = e._multiple_of_L0_covering_topk(topk)
     w = e._probe_width(L, None)

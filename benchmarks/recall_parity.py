@@ -262,8 +262,12 @@ def main():
     f32_relerr = 0.0
     for i in range(Q):
         k = len(o_d_ex[i])
+        ids_i = np.asarray(e_ids_ex[i][:k])
+        # a padded -1 id would silently wrap to the last code row and corrupt
+        # the dominance statistic — fail loudly instead (ADVICE round 4)
+        assert (ids_i >= 0).all(), f"padded ids in exact-mode top-{k}: {ids_i}"
         d_e64 = np.sort(adc_np(dtable_np(q_oracle[i], e.codewords),
-                               codes[np.asarray(e_ids_ex[i][:k])]))
+                               codes[ids_i]))
         dom_pairs += int((d_e64 <= o_d_ex[i] * (1 + 1e-9) + 1e-9).sum())
         tot_pairs += k
         f32_relerr = max(f32_relerr, float(np.max(
@@ -275,7 +279,8 @@ def main():
 
     print(f"# Recall parity vs reference-exact IVF oracle\n")
     print(f"Config: {data} synthetic, codec={codec}, N={N}, D={D}, M={M}, Ks={Ks}, "
-          f"nlist={e.nlist}, Q={Q}, backend={jax.default_backend()}.")
+          f"nlist={e.nlist}, Q={Q}, backend={jax.default_backend()}, "
+          f"scope={scope}.")
     print("Oracle = NumPy reproduction of the reference's exact candidate "
           "walk (src/rii.h:244-326); dominance = fraction of (query, rank) "
           "pairs whose engine ADC distance is <= the oracle's (the provable "
@@ -287,26 +292,27 @@ def main():
           f"engine's device f32 distance values differ from that metric by "
           f"at most {f32_relerr:.1e} relative (cancellation class "
           f"~(||q||^2/dist)*2^-24).\n")
-    print("| case | tier | L | recall@1 oracle | recall@1 rii-tpu "
-          "| recall@10 oracle | recall@10 rii-tpu | dominance "
-          "| rii-tpu ms/query |")
-    print("|---|---|---|---|---|---|---|---|---|")
-    for r in rows:
-        print(f"| {r['case']} | {r['tier']} | {r['L']} | "
-              f"{r['oracle_r1']:.3f} | {r['engine_r1']:.3f} | "
-              f"{r['oracle_r10']:.3f} | {r['engine_r10']:.3f} | "
-              f"{r['dominance']:.3f} | {r['engine_ms_q']:.3f} |")
-    print()
-    print("Probe A/B (approx_max_k probes vs exact lax.top_k probes, "
-          "merge approx in both):")
-    print("| case | L | recall@10 approx | recall@10 exact | delta "
-          "| ms/q approx | ms/q exact |")
-    print("|---|---|---|---|---|---|---|")
-    for tag, L, ra, rx in ab:
-        print(f"| {tag} | {L} | {ra['engine_r10']:.3f} | "
-              f"{rx['engine_r10']:.3f} | "
-              f"{rx['engine_r10']-ra['engine_r10']:+.3f} | "
-              f"{ra['engine_ms_q']:.3f} | {rx['engine_ms_q']:.3f} |")
+    if scope != "exact":  # exact-only runs have no table rows (ADVICE round 4)
+        print("| case | tier | L | recall@1 oracle | recall@1 rii-tpu "
+              "| recall@10 oracle | recall@10 rii-tpu | dominance "
+              "| rii-tpu ms/query |")
+        print("|---|---|---|---|---|---|---|---|---|")
+        for r in rows:
+            print(f"| {r['case']} | {r['tier']} | {r['L']} | "
+                  f"{r['oracle_r1']:.3f} | {r['engine_r1']:.3f} | "
+                  f"{r['oracle_r10']:.3f} | {r['engine_r10']:.3f} | "
+                  f"{r['dominance']:.3f} | {r['engine_ms_q']:.3f} |")
+        print()
+        print("Probe A/B (approx_max_k probes vs exact lax.top_k probes, "
+              "merge approx in both):")
+        print("| case | L | recall@10 approx | recall@10 exact | delta "
+              "| ms/q approx | ms/q exact |")
+        print("|---|---|---|---|---|---|---|")
+        for tag, L, ra, rx in ab:
+            print(f"| {tag} | {L} | {ra['engine_r10']:.3f} | "
+                  f"{rx['engine_r10']:.3f} | "
+                  f"{rx['engine_r10']-ra['engine_r10']:+.3f} | "
+                  f"{ra['engine_ms_q']:.3f} | {rx['engine_ms_q']:.3f} |")
 
 
 if __name__ == "__main__":

@@ -75,12 +75,13 @@ def _coarse_scores(q_all, q16, centers_dec, centers_norms, exact):
 
 @partial(jax.jit, static_argnames=("w", "topk", "cap_u", "nlist_pad",
                                    "recall_target", "use_pallas",
-                                   "interpret", "probe_recall"))
+                                   "interpret", "probe_recall", "overfetch"))
 def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
                         centers_norms, w, topk, cap_u, nlist_pad,
                         target_mask=None, recall_target=None,
                         use_pallas=False, interpret=False, probes=None,
-                        probe_recall="inherit"):
+                        probe_recall="inherit", codes=None, codewords=None,
+                        overfetch=2):
     """Batched IVF probe via the UNION of the batch's probed buckets.
 
     The TPU-native replacement for the reference's per-query posting-list walk
@@ -194,32 +195,50 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
             vmin, amin = ivf_window_tile_minima_multi(
                 q_all, decoded_g, flat_i, dup_i, cap_v=cap_u, wpb=wpb,
                 pen=pen_probe)
-        k_eff = min(topk, vmin.shape[1])
+        # with codes/codewords: overfetch so exact re-ranking can repair bf16
+        # selection noise near the topk boundary (the int8 tier's epilogue,
+        # round-4 VERDICT item 4); without: rescore the topk winners only
+        k_sel = topk if codes is None else max(topk * overfetch, topk + 8)
+        k_eff = min(k_sel, vmin.shape[1])
         if recall_target is None:
             neg_sel, pos = lax.top_k(-vmin, k_eff)
         else:
             neg_sel, pos = lax.approx_max_k(-vmin, k_eff,
                                             recall_target=recall_target)
         slot_top = jnp.take_along_axis(amin, pos, axis=1)  # (Q, k_eff)
-        # exact rescore: f32 norms + f32-accumulated cross on the k_eff rows
-        rows = jnp.take(decoded_g, jnp.maximum(slot_top, 0), axis=0)
-        cross = jnp.einsum("qkd,qd->qk", rows, q16,
-                           preferred_element_type=jnp.float32)
+        if codes is None:
+            # exact rescore: f32 norms + f32-accumulated cross on k_eff rows
+            rows = jnp.take(decoded_g, jnp.maximum(slot_top, 0), axis=0)
+            cross = jnp.einsum("qkd,qd->qk", rows, q16,
+                               preferred_element_type=jnp.float32)
+        else:
+            # EXACT f32 ADC: reconstruct candidate rows from the uint8 codes
+            # (one-hot decode against f32 codewords — see
+            # pallas_scan._exact_rescore_codes); gathers only Q*k_eff rows
+            from rii_tpu.ops.decode import onehot_decode_exact
+            ids0 = jnp.take(order_g, jnp.maximum(slot_top, 0))
+            cand = jnp.take(codes, jnp.maximum(ids0, 0), axis=0)
+            dec = onehot_decode_exact(cand.reshape(qn * k_eff, -1),
+                                      codewords).reshape(qn, k_eff, -1)
+            cross = jnp.einsum("qkd,qd->qk", dec, q_all,
+                               precision=lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
         nrm_c = jnp.take(norms_g, jnp.maximum(slot_top, 0))
         qsq = jnp.sum(q_all * q_all, axis=-1)
         exact = nrm_c - 2.0 * cross + qsq[:, None]
         # +inf-masked duplicate-window candidates (pen=+inf in kernel) point at
         # real slots whose norms are finite: keep them masked so ids are unique
         exact = jnp.where(jnp.isfinite(neg_sel), exact, jnp.inf)
-        neg, pos2 = lax.top_k(-exact, k_eff)
+        k_out = min(topk, k_eff)
+        neg, pos2 = lax.top_k(-exact, k_out)
         slot_top = jnp.take_along_axis(slot_top, pos2, axis=1)
         ids = jnp.take(order_g, slot_top)
         dists = -neg
-        if k_eff < topk:
+        if k_out < topk:
             dists = jnp.concatenate(
-                [dists, jnp.full((qn, topk - k_eff), jnp.inf)], axis=1)
+                [dists, jnp.full((qn, topk - k_out), jnp.inf)], axis=1)
             ids = jnp.concatenate(
-                [ids, jnp.full((qn, topk - k_eff), -1, ids.dtype)], axis=1)
+                [ids, jnp.full((qn, topk - k_out), -1, ids.dtype)], axis=1)
         ids = jnp.where(jnp.isfinite(dists), ids, -1)
         return dists, ids
 
@@ -235,7 +254,11 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
 
     dec3 = decoded_g.reshape(nlist_pad, cap_u, d)
     norms2 = norms_g.reshape(nlist_pad, cap_u)
-    k_eff = min(topk, uc * cap_u)
+    # per-chunk overfetch when an exact-codes rescore follows (see the pallas
+    # branch): with one chunk (the common small-union case) the final pool IS
+    # the per-chunk pool, so the overfetch must happen here
+    k_sel = topk if codes is None else max(topk * overfetch, topk + 8)
+    k_eff = min(k_sel, uc * cap_u)
 
     def chunk_fn(args):
         fl, dp = args  # (uc,), (uc,)
@@ -255,11 +278,32 @@ def ivf_union_scan_topk(queries, decoded_g, norms_g, order_g, centers_dec,
                                      dup.reshape(n_chunks, uc)))
     negs = jnp.swapaxes(negs, 0, 1).reshape(qn, n_chunks * k_eff)
     slots = jnp.swapaxes(slots, 0, 1).reshape(qn, n_chunks * k_eff)
-    neg_top, pos = lax.top_k(negs, min(topk, n_chunks * k_eff))
-    slot_top = jnp.take_along_axis(slots, pos, axis=1)
-    ids = jnp.take(order_g, slot_top)
     qsq = jnp.sum(q_all * q_all, axis=-1)
-    dists = -neg_top + qsq[:, None]
+    if codes is not None:
+        # exact f32 ADC re-rank of the overfetched pool (pallas-branch twin)
+        from rii_tpu.ops.decode import onehot_decode_exact
+        k_fetch = min(k_sel, n_chunks * k_eff)
+        neg_sel, pos = lax.top_k(negs, k_fetch)
+        slot_top = jnp.take_along_axis(slots, pos, axis=1)
+        ids0 = jnp.take(order_g, jnp.maximum(slot_top, 0))
+        cand = jnp.take(codes, jnp.maximum(ids0, 0), axis=0)
+        dec_c = onehot_decode_exact(cand.reshape(qn * k_fetch, -1),
+                                    codewords).reshape(qn, k_fetch, -1)
+        cross = jnp.einsum("qkd,qd->qk", dec_c, q_all,
+                           precision=lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+        nrm_c = jnp.take(norms_g, jnp.maximum(slot_top, 0))
+        exact = nrm_c - 2.0 * cross + qsq[:, None]
+        exact = jnp.where(jnp.isfinite(neg_sel), exact, jnp.inf)
+        neg_top, pos2 = lax.top_k(-exact, min(topk, k_fetch))
+        slot_top = jnp.take_along_axis(slot_top, pos2, axis=1)
+        ids = jnp.take(order_g, slot_top)
+        dists = -neg_top
+    else:
+        neg_top, pos = lax.top_k(negs, min(topk, n_chunks * k_eff))
+        slot_top = jnp.take_along_axis(slots, pos, axis=1)
+        ids = jnp.take(order_g, slot_top)
+        dists = -neg_top + qsq[:, None]
     kk = dists.shape[1]
     if kk < topk:
         dists = jnp.concatenate(

@@ -196,17 +196,25 @@ def _merge_tile_minima(queries, vmin, amin, topk, recall_target):
 
 
 @partial(jax.jit, static_argnames=("topk", "blk", "interpret", "recall_target",
-                                   "packed"))
-def replica_scan_topk(queries, decoded, norms_col, topk, blk=1024,
-                      interpret=False, recall_target=0.99, packed=None):
+                                   "packed", "overfetch"))
+def replica_scan_topk(queries, decoded, norms_col, topk, codes=None,
+                      codewords=None, blk=1024, interpret=False,
+                      recall_target=0.99, packed=None, overfetch=2):
     """Fused replica scan (GEMM + tile reduce in one kernel). Same accuracy
     class as pq_scan_topk. packed=None follows the contract: bit-exact reduce
-    for recall_target=None, packed-key otherwise."""
+    for recall_target=None, packed-key otherwise. With `codes`/`codewords`,
+    the final top-k is overfetched and re-ranked in exact f32 ADC (see
+    replica_scan_topk_t)."""
     if packed is None:
         packed = recall_target is not None
     vmin, amin = replica_scan_tile_minima(queries, decoded, norms_col, blk=blk,
                                           interpret=interpret, packed=packed)
-    return _merge_tile_minima(queries, vmin, amin, topk, recall_target)
+    if codes is None:
+        return _merge_tile_minima(queries, vmin, amin, topk, recall_target)
+    k_fetch = min(max(topk * overfetch, topk + 8), vmin.shape[1])
+    _, ids_a = _merge_tile_minima(queries, vmin, amin, k_fetch, recall_target)
+    return _exact_rescore_codes(queries, ids_a, codes, codewords,
+                                norms_col[:, 0], topk)
 
 
 # --------------------------------------------------------------------------- #
@@ -444,12 +452,62 @@ def _merge_packed_keys(queries, keys, topk, recall_target):
     return dists, ids
 
 
-@partial(jax.jit, static_argnames=("topk", "blk", "interpret", "recall_target"))
-def replica_scan_topk_t(queries, decoded_t, norms_rep, topk, blk=_TBLK,
-                        interpret=False, recall_target=0.99):
+def _exact_rescore_codes(queries, ids_a, codes, codewords, norms_vec, topk):
+    """Exact-ADC f32 re-rank of overfetched candidates (the shared epilogue).
+
+    ids_a: (Q, k_fetch) int32 candidate ids, -1 = invalid. The candidates'
+    exact decoded rows are reconstructed from the uint8 codes via
+    onehot_decode_exact (one-hot over just Q*k_fetch rows — measured faster
+    than an XLA gather-decode on TPU, whose gather lowering is slow; the
+    one-hot stays bf16 with 0/1 entries contracted against f32 codewords, so
+    the decode is exact) and re-scored in f32: returned distances are exact
+    ADC (reference semantics, /root/reference/src/rii.h:375-394), and
+    selection noise from a lower-precision scoring pass is repaired within
+    the overfetched pool. norms_vec: (cap,) f32 ||decode||^2 lookup (+inf on
+    padded/masked slots — invalid candidates stay excluded).
+    """
+    from rii_tpu.ops.decode import onehot_decode_exact
+    qn, k_fetch = ids_a.shape
+    safe = jnp.maximum(ids_a, 0)
+    cand_codes = jnp.take(codes, safe, axis=0)  # (Q, k_fetch, M)
+    dec = onehot_decode_exact(cand_codes.reshape(qn * k_fetch, -1),
+                              codewords).reshape(qn, k_fetch, -1)
+    q = queries.astype(jnp.float32)
+    cross = jnp.einsum("qkd,qd->qk", dec, q,
+                       precision=lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+    norms_c = jnp.take(norms_vec, safe)
+    qsq = jnp.sum(q * q, axis=1)
+    exact = jnp.where(ids_a >= 0, norms_c - 2.0 * cross + qsq[:, None], jnp.inf)
+    k_out = min(topk, exact.shape[1])
+    neg, pos = lax.top_k(-exact, k_out)
+    ids = jnp.take_along_axis(ids_a, pos, axis=1)
+    dists = -neg
+    if k_out < topk:  # tiny caps: fewer tiles than topk
+        pad = topk - k_out
+        dists = jnp.concatenate([dists, jnp.full((qn, pad), jnp.inf)], axis=1)
+        ids = jnp.concatenate([ids, jnp.full((qn, pad), -1, ids.dtype)], axis=1)
+    ids = jnp.where(jnp.isfinite(dists), ids, -1)
+    return dists, ids
+
+
+@partial(jax.jit, static_argnames=("topk", "blk", "interpret", "recall_target",
+                                   "overfetch"))
+def replica_scan_topk_t(queries, decoded_t, norms_rep, topk, codes=None,
+                        codewords=None, blk=_TBLK, interpret=False,
+                        recall_target=0.99, overfetch=2):
     """Fused transposed-replica scan — the fastest full-scan path at any Q
     (measured on v5e at N=1M: 0.52 ms @ Q=128 = DMA-bound ~620 GB/s; 1.56 ms
     @ Q=1024 = 177 TF/s MXU-bound). Same accuracy class as replica_scan_topk.
+
+    When `codes`/`codewords` are given, the bf16 selection overfetches
+    `overfetch * topk` candidates and the final top-k is re-ranked in exact
+    f32 ADC (see _exact_rescore_codes) — the same epilogue the int8 tiers
+    ship; gathers only topk*overfetch*Q code rows. Engine policy:
+    Rii.exact_rescore (default "auto" = on below the big-Q TN crossover,
+    where the measured gather cost is ~0; at Q=1024 a 20k-row codes gather
+    costs ~0.9 ms — the known XLA row-gather degradation — so big-Q batches
+    keep the documented bf16 accuracy class unless forced).
     """
     if queries.shape[0] >= _TN_MIN_Q:
         keys = _replica_keys_tn(queries, decoded_t, norms_rep,
@@ -457,7 +515,12 @@ def replica_scan_topk_t(queries, decoded_t, norms_rep, topk, blk=_TBLK,
     else:
         keys = _replica_keys_nn(queries, decoded_t, norms_rep, blk=blk,
                                 interpret=interpret)
-    return _merge_packed_keys(queries, keys, topk, recall_target)
+    if codes is None:
+        return _merge_packed_keys(queries, keys, topk, recall_target)
+    k_fetch = min(max(topk * overfetch, topk + 8), keys.shape[1])
+    _, ids_a = _merge_packed_keys(queries, keys, k_fetch, recall_target)
+    return _exact_rescore_codes(queries, ids_a, codes, codewords,
+                                norms_rep[0], topk)
 
 
 def prepare_replica_t(decoded, norms_flat):
@@ -591,34 +654,12 @@ def replica_i8_scan_topk_t(queries, decoded_i8_t, col_scales, norms_rep,
     earlier bf16 rescore inflated near-neighbor distances by up to ~1%,
     RECALL_PARITY.md probe study).
     """
-    qn = queries.shape[0]
     keys = _replica_keys_i8t(queries, decoded_i8_t, col_scales, norms_rep,
                              interpret=interpret)
     k_fetch = min(max(topk * overfetch, topk + 8), keys.shape[1])
-    d_a, ids_a = _merge_packed_keys(queries, keys, k_fetch, recall_target)
-
-    from rii_tpu.ops.decode import onehot_decode_exact
-    safe = jnp.maximum(ids_a, 0)
-    cand_codes = jnp.take(codes, safe, axis=0)  # (Q, k_fetch, M)
-    dec = onehot_decode_exact(cand_codes.reshape(qn * k_fetch, -1),
-                              codewords).reshape(qn, k_fetch, -1)
-    q = queries.astype(jnp.float32)
-    cross = jnp.einsum("qkd,qd->qk", dec, q,
-                       precision=lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
-    norms_c = jnp.take(norms_rep[0], safe)
-    qsq = jnp.sum(q * q, axis=1)
-    exact = jnp.where(ids_a >= 0, norms_c - 2.0 * cross + qsq[:, None], jnp.inf)
-    k_out = min(topk, exact.shape[1])
-    neg, pos = lax.top_k(-exact, k_out)
-    ids = jnp.take_along_axis(ids_a, pos, axis=1)
-    dists = -neg
-    if k_out < topk:  # tiny caps: fewer tiles than topk
-        pad = topk - k_out
-        dists = jnp.concatenate([dists, jnp.full((qn, pad), jnp.inf)], axis=1)
-        ids = jnp.concatenate([ids, jnp.full((qn, pad), -1, ids.dtype)], axis=1)
-    ids = jnp.where(jnp.isfinite(dists), ids, -1)
-    return dists, ids
+    _, ids_a = _merge_packed_keys(queries, keys, k_fetch, recall_target)
+    return _exact_rescore_codes(queries, ids_a, codes, codewords,
+                                norms_rep[0], topk)
 
 
 # --------------------------------------------------------------------------- #
@@ -693,40 +734,13 @@ def replica_i8_scan_topk(queries, decoded_i8, col_scales, norms_col,
     (one-hot over just Q*k rows — negligible) and re-scored in f32, so returned
     distances match the exact-ADC paths up to bf16-table rounding.
     """
-    qn = queries.shape[0]
     vmin, amin = replica_i8_scan_tile_minima(queries, decoded_i8, col_scales,
                                              norms_col, blk=blk,
                                              interpret=interpret)
     k_fetch = min(max(topk * overfetch, topk + 8), vmin.shape[1])
-    d_a, ids_a = _merge_tile_minima(queries, vmin, amin, k_fetch, recall_target)
-
-    # exact rescore of the fetched candidates via one-hot decode (measured
-    # faster than an XLA gather-decode on TPU, whose gather lowering is slow).
-    # onehot_decode_exact keeps the big one-hot in bf16 (0/1 exact) while
-    # contracting against f32 codewords: exact ADC distances at the bf16
-    # one-hot's HBM traffic (~335 MB at Q=1024, k_fetch=20)
-    from rii_tpu.ops.decode import onehot_decode_exact
-    safe = jnp.maximum(ids_a, 0)
-    cand_codes = jnp.take(codes, safe, axis=0)  # (Q, k_fetch, M)
-    dec = onehot_decode_exact(cand_codes.reshape(qn * k_fetch, -1),
-                              codewords).reshape(qn, k_fetch, -1)
-    q = queries.astype(jnp.float32)
-    cross = jnp.einsum("qkd,qd->qk", dec, q,
-                       precision=lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
-    norms_c = jnp.take(norms_col[:, 0], safe)
-    qsq = jnp.sum(q * q, axis=1)
-    exact = jnp.where(ids_a >= 0, norms_c - 2.0 * cross + qsq[:, None], jnp.inf)
-    k_out = min(topk, exact.shape[1])
-    neg, pos = lax.top_k(-exact, k_out)
-    ids = jnp.take_along_axis(ids_a, pos, axis=1)
-    dists = -neg
-    if k_out < topk:  # tiny caps: fewer tiles than topk
-        pad = topk - k_out
-        dists = jnp.concatenate([dists, jnp.full((qn, pad), jnp.inf)], axis=1)
-        ids = jnp.concatenate([ids, jnp.full((qn, pad), -1, ids.dtype)], axis=1)
-    ids = jnp.where(jnp.isfinite(dists), ids, -1)
-    return dists, ids
+    _, ids_a = _merge_tile_minima(queries, vmin, amin, k_fetch, recall_target)
+    return _exact_rescore_codes(queries, ids_a, codes, codewords,
+                                norms_col[:, 0], topk)
 
 
 def quantize_replica_i8(decoded, eps=1e-30):

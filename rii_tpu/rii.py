@@ -46,6 +46,7 @@ from rii_tpu.ops.ivf import (
     ivf_union_scan_topk_pq,
 )
 from rii_tpu.ops.pallas_scan import (
+    _TN_MIN_Q,
     pq_scan_topk_t,
     prepare_pq_scan_inputs_t,
     prepare_replica_t,
@@ -230,6 +231,13 @@ class Rii:
         # probes while keeping the fast approx merge (probe A/B measured in
         # RECALL_PARITY.md).
         self.probe_recall = "inherit"
+        # Exact-f32 rescore of the final overfetched candidates on the bf16
+        # tiers (the int8 tiers always rescore — they must, to recover from
+        # quantization). "auto" = on below the big-Q crossover (_TN_MIN_Q),
+        # where the topk*2*Q-row codes gather is ~free; at Q=1024 it costs
+        # ~0.9 ms (XLA row-gather degradation, ROADMAP 4c), so big batches
+        # keep the documented bf16 accuracy class. True/False force it.
+        self.exact_rescore = "auto"
         self._verbose = bool(fine_quantizer.verbose)
         self._code_chunks = []  # list of (n_i, M) uint8
         self._assign_chunks = []  # list of (n_i,) int32; -1 = not in any posting list
@@ -238,6 +246,12 @@ class Rii:
         self._version = 0
         self._codes_cache = None  # consolidated (N, M) uint8
         self._dc = None  # device cache dict
+        # one-shot precomputed-state adoption (checkpoint v2, load_index):
+        # consumed by the next _build_cache, so post-load mutations can never
+        # see stale derived state (they bump the version, the cache rebuilds,
+        # and these are already None by then)
+        self._norms_cache = None  # (N,) f32 ||decode||^2
+        self._layout_v = None  # saved virtual layout (utils/serialization.py)
         self._cap_reserve = 0  # see reserve()
         # serializes cold-cache builds: QueryServer's dispatcher pool calls
         # query_batch concurrently, and two racing _ensure_cache builds would
@@ -346,6 +360,9 @@ class Rii:
             self._centers = centers
             assign = pqkmeans_predict(self.codewords, centers, codes)
             self._assign_chunks = [assign.astype(np.int32)]
+            # new assignments invalidate any loaded layout adoption state
+            # even at identical (n, nlist) — see load_index / _build_cache
+            self._layout_v = None
             self._bump()
 
         # calibration issues queries itself, so it runs OUTSIDE the write lock
@@ -424,6 +441,8 @@ class Rii:
             self._n = 0
             self._centers = None
             self._codes_cache = None
+            self._norms_cache = None
+            self._layout_v = None
             self._bump()
 
     def _add_codes(self, codes, update_flag):
@@ -570,9 +589,10 @@ class Rii:
                                          jnp.asarray(place["wins"]),
                                          jnp.asarray(place["vls"]))
             # the legacy tight-packed grouped layout has no spare capacity;
-            # drop it (dead for querying — the union layout always exists)
+            # drop it (dead for querying — the union layout always exists).
+            # cap_max included: it is _ensure_legacy_grouped's built sentinel
             for key in ("order", "slot_cluster", "codes_grouped",
-                        "norms_grouped", "bucket_start"):
+                        "norms_grouped", "bucket_start", "cap_max"):
                 dc.pop(key, None)
 
         dc["n_dev"] = n0 + k
@@ -680,6 +700,13 @@ class Rii:
                 else require_dtype(target_ids, np.int64, "target_ids"), L)
         return ids[0].astype(np.int64), dists[0].astype(np.float64)
 
+    def _resolve_rescore(self, qn):
+        """Exact-rescore policy for the bf16 tiers (see __init__)."""
+        mode = getattr(self, "exact_rescore", "auto")
+        if mode == "auto":
+            return qn < _TN_MIN_Q
+        return bool(mode)
+
     def _query_linear_batch(self, queries, topk, tids):
         dc = self._ensure_cache()
         qp, qn = _pad_queries(queries)
@@ -687,6 +714,11 @@ class Rii:
         decoded = dc.get("decoded_flat")
         rt = getattr(self, "topk_recall", None)
         use_pallas_replica = decoded is not None and self._use_pallas_scan()
+        # exact-f32 rescore epilogue on the bf16 tiers: pass the codes so the
+        # scan overfetches and re-ranks exactly (None = selection-only)
+        rs = self._resolve_rescore(qd.shape[0])
+        rs_codes = dc["codes_flat"] if rs else None
+        rs_cw = dc["codewords"] if rs else None
         if tids is None:
             if "decoded_i8_t" in dc:
                 d, i = replica_i8_scan_topk_t(
@@ -702,11 +734,14 @@ class Rii:
             elif "decoded_t" in dc:
                 d, i = replica_scan_topk_t(qd, dc["decoded_t"],
                                            dc["norms_rep"], topk=topk,
+                                           codes=rs_codes, codewords=rs_cw,
                                            recall_target=rt,
                                            interpret=self._interp())
             elif use_pallas_replica:
                 d, i = replica_scan_topk(qd, decoded, dc["norms_flat"][:, None],
-                                         topk=topk, blk=min(8192, dc["cap"]),
+                                         topk=topk, codes=rs_codes,
+                                         codewords=rs_cw,
+                                         blk=min(8192, dc["cap"]),
                                          recall_target=rt)
             elif decoded is not None:
                 d, i = linear_scan_topk_decoded(qd, decoded, dc["norms_flat"],
@@ -743,19 +778,23 @@ class Rii:
                     dc["codewords"], topk=topk, blk=min(8192, dc["cap"]),
                     recall_target=rt)
             elif "decoded_t" in dc:
-                # fold the subset mask into the replicated norms stream
+                # fold the subset mask into the replicated norms stream (the
+                # rescore reads the same masked norms, so exclusion holds)
                 norms_m = jnp.where(jnp.asarray(mask), dc["norms_flat"],
                                     jnp.inf)
                 d, i = replica_scan_topk_t(qd, dc["decoded_t"],
                                            jnp.asarray(norms_m[None, :]),
-                                           topk=topk, recall_target=rt,
+                                           topk=topk, codes=rs_codes,
+                                           codewords=rs_cw, recall_target=rt,
                                            interpret=self._interp())
             elif use_pallas_replica:
                 norms_col = np.asarray(dc["norms_flat"]).copy()
                 norms_col[~mask] = np.inf
                 d, i = replica_scan_topk(qd, decoded,
                                          jnp.asarray(norms_col[:, None]),
-                                         topk=topk, blk=min(8192, dc["cap"]),
+                                         topk=topk, codes=rs_codes,
+                                         codewords=rs_cw,
+                                         blk=min(8192, dc["cap"]),
                                          recall_target=rt)
             elif decoded is not None:
                 d, i = linear_scan_topk_decoded(qd, decoded, dc["norms_flat"],
@@ -856,6 +895,7 @@ class Rii:
                 # unions; the XLA gather path wins below ~2k windows
                 # (measured: U=512 0.19 vs 0.29 ms, U=4096 2.8 vs 1.8 ms)
                 u_est = min(qd.shape[0] * wv, dc["nlist_v_pad"])
+                rs = self._resolve_rescore(qd.shape[0])
                 d, i = ivf_union_scan_topk(
                     qd, dc["decoded_g"], dc["norms_g"], dc["order_g"],
                     dc["centers_dec_v"], dc["centers_norms_v"], w=wv,
@@ -863,7 +903,9 @@ class Rii:
                     target_mask=tm, recall_target=rt,
                     use_pallas=use_pallas_ivf and u_est >= 2048,
                     interpret=self._interp(),
-                    probe_recall=getattr(self, "probe_recall", "inherit"))
+                    probe_recall=getattr(self, "probe_recall", "inherit"),
+                    codes=dc["codes_flat"] if rs else None,
+                    codewords=dc["codewords"] if rs else None)
             elif "decoded_g_i8" in dc:
                 # int8 windows: half the bf16 DMA traffic; exact rescore from
                 # the uint8 codes (ops/ivf.ivf_union_scan_topk_i8)
@@ -891,12 +933,14 @@ class Rii:
                     probe_recall=getattr(self, "probe_recall", "inherit"))
         elif "decoded_flat" in dc:
             # fully query-batched probe over the bf16 replica
+            self._ensure_legacy_grouped(dc)
             d, i = ivf_scan_topk_decoded(
                 qd, dc["decoded_flat"], dc["centers_dec"], dc["centers_norms"],
                 dc["bucket_start"], dc["norms_grouped"], dc["order"],
                 dc["slot_cluster"], w=w, topk=topk, cap_max=dc["cap_max"],
                 recall_target=rt, **kwargs)
         else:
+            self._ensure_legacy_grouped(dc)
             d, i = ivf_scan_topk(
                 qd, dc["codewords"], dc["centers_dec"], dc["centers_norms"],
                 dc["bucket_start"], dc["codes_grouped"], dc["norms_grouped"],
@@ -1052,7 +1096,12 @@ class Rii:
     def _build_cache(self):
         codes = self._consolidated_codes()
         cw = np.asarray(self.codewords, dtype=np.float32)
-        norms = code_norms_np(cw, codes)
+        nc = self._norms_cache
+        self._norms_cache = None
+        if nc is not None and len(nc) == self._n:
+            norms = np.asarray(nc, dtype=np.float32)  # checkpoint v2 adoption
+        else:
+            norms = code_norms_np(cw, codes)
         cap = _pow2_at_least(max(self._n, self._cap_reserve, 1), 1024)
         block = min(8192, cap)  # pq path: bounds the one-hot decode transient
         block_dec = min(262144, cap)  # decoded replica path: GEMM-friendly
@@ -1108,7 +1157,6 @@ class Rii:
             dc["pallas_cw"] = cwt
         if self._centers is not None:
             nlist = self.nlist
-            layout = build_grouped_layout(codes, norms, self._assignments(), nlist)
             nlist_pad = _pow2_at_least(nlist, 8)
             # decoded coarse centers, padded with +inf norms
             dec = cw[np.arange(self.M)[None, :], self._centers.astype(np.int64)]
@@ -1116,19 +1164,16 @@ class Rii:
             centers_dec[:nlist] = dec.reshape(nlist, -1)
             centers_norms = np.full(nlist_pad, np.inf, dtype=np.float32)
             centers_norms[:nlist] = (centers_dec[:nlist] ** 2).sum(axis=1)
-            bucket_start = np.zeros(nlist_pad, dtype=np.int32)
-            bucket_start[:nlist] = layout["bucket_start"]
             dc.update({
                 "nlist_pad": nlist_pad,
-                "cap_max": layout["cap_max"],
-                "order": jnp.asarray(layout["order"]),
-                "slot_cluster": jnp.asarray(layout["slot_cluster"]),
-                "codes_grouped": jnp.asarray(layout["codes_grouped"]),
-                "norms_grouped": jnp.asarray(layout["norms_grouped"]),
-                "bucket_start": jnp.asarray(bucket_start),
                 "centers_dec": jnp.asarray(centers_dec),
                 "centers_norms": jnp.asarray(centers_norms),
             })
+            # NOTE the legacy whole-bucket grouped layout (cap_max windows,
+            # ivf_scan_topk fallbacks) is built LAZILY (_ensure_legacy_grouped):
+            # the union tier below always serves queries when centers exist,
+            # and skipping a second argsort+gather pass over all N rows cuts
+            # the first-query host layout cost in half at the SIFT1B shape
             # balanced virtual-bucket layout for the union-bucket IVF scan:
             # big buckets split into cap_v-slot windows, each window a
             # contiguous DMA, probe width scaled by nlist_v. bf16 mode keeps a
@@ -1147,8 +1192,31 @@ class Rii:
             h = 0.125
             if self._cap_reserve > self._n > 0:
                 h = max(h, self._cap_reserve / self._n - 1.0)
-            ul = build_virtual_layout(codes, norms, self._assignments(), nlist,
-                                      headroom=h)
+            lv = self._layout_v
+            self._layout_v = None
+            if (lv is not None and lv["n"] == self._n
+                    and lv["nlist"] == nlist and lv["headroom"] == h):
+                # checkpoint v2 adoption: the saved permutation replaces the
+                # argsort+placement pass; grouped codes/norms are rebuilt by
+                # one fancy-gather (codes[order]) — the cheap part
+                order = lv["order"]
+                total = order.shape[0]
+                valid = order >= 0
+                codes_grouped = np.zeros((total, self.M), dtype=np.uint8)
+                codes_grouped[valid] = codes[order[valid]]
+                norms_grouped = np.full(total, np.inf, dtype=np.float32)
+                norms_grouped[valid] = norms[order[valid]]
+                ul = {
+                    "order": order, "codes_grouped": codes_grouped,
+                    "norms_grouped": norms_grouped, "vreal": lv["vreal"],
+                    "vlen": lv["vlen"], "vstart": lv["vstart"],
+                    "counts": lv["counts"], "cap_v": int(lv["cap_v"]),
+                    "nlist_v": int(lv["nlist_v"]),
+                    "nlist_v_pad": int(lv["nlist_v_pad"]), "total": int(total),
+                }
+            else:
+                ul = build_virtual_layout(codes, norms, self._assignments(),
+                                          nlist, headroom=h)
             vreal_c = ul["vreal"]
             cdv_c = centers_dec[np.clip(vreal_c, 0, nlist_pad - 1)]
             cnv_c = np.where(vreal_c >= 0, centers_norms[
@@ -1215,6 +1283,37 @@ class Rii:
                     from rii_tpu.ops.pallas_scan import build_padded_codewords
                     dc["pallas_cw"] = build_padded_codewords(cw)
         self._dc = dc
+        return dc
+
+    def _ensure_legacy_grouped(self, dc):
+        """Lazily add the whole-bucket grouped layout (the ivf_scan_topk
+        fallback family's storage) to the device cache. The union-bucket
+        virtual layout serves every IVF query whenever centers exist, so
+        this second argsort+gather pass over all N rows is skipped on the
+        normal path (measured ~half the first-query host layout cost at
+        N=32M/nlist=31623) and built only if a fallback is actually hit or a
+        caller (tests, benchmarks) asks for it explicitly."""
+        if "cap_max" in dc:
+            return dc
+        with self._cache_lock:
+            if "cap_max" in dc:  # raced builder finished first
+                return dc
+            codes = self._consolidated_codes()
+            cw = np.asarray(self.codewords, dtype=np.float32)
+            norms = code_norms_np(cw, codes)
+            nlist = self.nlist
+            layout = build_grouped_layout(codes, norms, self._assignments(),
+                                          nlist)
+            bucket_start = np.zeros(dc["nlist_pad"], dtype=np.int32)
+            bucket_start[:nlist] = layout["bucket_start"]
+            dc.update({
+                "cap_max": layout["cap_max"],
+                "order": jnp.asarray(layout["order"]),
+                "slot_cluster": jnp.asarray(layout["slot_cluster"]),
+                "codes_grouped": jnp.asarray(layout["codes_grouped"]),
+                "norms_grouped": jnp.asarray(layout["norms_grouped"]),
+                "bucket_start": jnp.asarray(bucket_start),
+            })
         return dc
 
     # ------------------------------------------------------------------ #

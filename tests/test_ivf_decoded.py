@@ -16,7 +16,7 @@ def _engine(n=2000, d=32):
 
 
 def _run_both(e, X, queries, topk, w, tids=None):
-    dc = e._ensure_cache()
+    dc = e._ensure_legacy_grouped(e._ensure_cache())
     decoded = build_decoded_cache(dc["codes_flat"], dc["codewords"], block=1024)
     kw = {}
     if tids is not None:

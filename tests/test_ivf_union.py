@@ -114,9 +114,14 @@ def test_ivf_union_recall_superset_of_per_query(engine):
     d_solo = np.stack([e.query_batch(qs[i:i + 1], topk=5, method="ivf")[1][0]
                        for i in range(6)])
     _, d_b = e.query_batch(qs, topk=5, method="ivf")
-    # the batch scans a candidate superset of each solo query's probes, and
-    # distances are exact — so batch top-5 distances dominate elementwise
-    assert (d_b <= d_solo + 1e-4).all()
+    # the batch scans a candidate superset of each solo query's probes, so
+    # batch top-5 distances dominate elementwise — at bf16-class tolerance:
+    # per-candidate distances are exact f32 (rescore epilogue), but the
+    # overfetched rescore POOL is still cut by the bf16 selection, and the
+    # two runs cut their pools from different candidate sets, so the bf16
+    # bias no longer cancels between them (the pre-rescore engine compared
+    # bf16 to bf16, which is why 1e-4 used to pass)
+    assert (d_b <= d_solo * (1 + 5e-3) + 1e-6).all()
 
 
 def test_ivf_small_w_returns_valid(engine):
