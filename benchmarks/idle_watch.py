@@ -124,12 +124,18 @@ def probe():
 
 
 def run_cert():
-    """The certification suite, sequential (never two TPU jobs at once)."""
+    """The certification suite, sequential (never two TPU jobs at once).
+
+    The two TARGET benchmarks run FIRST (idle windows have closed in under
+    16 minutes; the first attempt burned its window on bench.py's 3-minute
+    index build before either target ran) and every job is followed by a
+    re-probe so each result carries the window state it was measured under.
+    """
     results = {}
     jobs = [
-        ("bench", [sys.executable, "bench.py"]),
         ("bigq_e2e", [sys.executable, "benchmarks/bigq_e2e.py"]),
         ("ivf_modes", [sys.executable, "benchmarks/ivf_modes.py"]),
+        ("bench", [sys.executable, "bench.py"]),
     ]
     for name, cmd in jobs:
         log(f"cert: running {name} ...")
@@ -147,6 +153,7 @@ def run_cert():
                            if _is_json(ln)],
             "stderr_tail": (out.stderr or "")[-2000:],
         }
+        results[name]["post_probe"] = probe()
     return results
 
 
@@ -182,8 +189,23 @@ def main():
                 "idle_keys_ms_threshold": IDLE_KEYS_MS,
                 "results": results,
             }
-            with open(CERT_PATH, "w") as f:
-                json.dump(cert, f, indent=1)
+            # never clobber a better cert: a held window wins, then the
+            # one whose TARGET jobs (the first two) ran under idle probes
+            def _score(c):
+                held = sum(1 for n in ("bigq_e2e", "ivf_modes")
+                           if c.get("results", {}).get(n, {})
+                           .get("post_probe", {}).get("status") == "idle")
+                return (bool(c.get("window_held")), held)
+            prev = None
+            if os.path.exists(CERT_PATH):
+                try:
+                    with open(CERT_PATH) as f:
+                        prev = json.load(f)
+                except ValueError:
+                    prev = None
+            if prev is None or _score(cert) >= _score(prev):
+                with open(CERT_PATH, "w") as f:
+                    json.dump(cert, f, indent=1)
             log(f"cert written to {CERT_PATH} (window_held="
                 f"{cert['window_held']})")
             if cert["window_held"]:

@@ -97,6 +97,8 @@ def recall(ids_rows, gt_rows, k):
 
 def main():
     import jax
+    if os.environ.get("RII_CPU"):  # sitecustomize overrides JAX_PLATFORMS
+        jax.config.update("jax_platforms", "cpu")
     on_accel = jax.default_backend() != "cpu"
     N = int(os.environ.get("BENCH_N", 1_000_000 if on_accel else 100_000))
     Q = int(os.environ.get("BENCH_Q", 64))

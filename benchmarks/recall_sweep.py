@@ -4,8 +4,11 @@
 The reference documents the L dial in prose (/root/reference/docs/source/
 tips.rst:11-37); this sweep produces the MEASURED equivalent for the TPU
 engine: for each candidate budget L, the derived virtual probe width wv
-(the w-formula, round(L*nlist_v/N)+3 pow2-bucketed), recall@1/@10 against
-exact f32 ground truth, and dispatch-inclusive latency at Q in {8, 64, 512}.
+(the w-formula, round(L*nlist_v/N)+3 pow2-bucketed), recall@r in the
+reference benchmark's sense (the true f32 NN ranks within the top r —
+examples/benchmark conventions), and dispatch-inclusive latency at
+Q in {8, 64, 512}. Queries are INDEPENDENT of the database (drawn from the
+same distribution, never planted next to a stored point).
 Runs on clustered data (SIFT-like structure — the design case) and uniform
 data (no cluster structure — the IVF worst case; SWEEP_DATA=uniform).
 
@@ -30,20 +33,25 @@ def log(*a):
 
 
 def synthesize(n, d, nq, seed=0):
-    """Clustered DB + queries planted next to random DB points, so each query
-    has an unambiguous true NN (recall then measures the INDEX, not the
-    degeneracy of the distribution)."""
+    """Clustered DB + INDEPENDENT queries drawn from the same cluster
+    distribution (never planted next to a DB point: planted queries make
+    every L score 1.0 and prove nothing about the dial). The true NN is a
+    random member of the query's cluster — found iff its posting list is
+    probed, so recall tracks the probe budget on structured data."""
     rng = np.random.RandomState(seed)
     ncent = 256
     centers = rng.random((ncent, d)).astype(np.float32) * 10
     which = rng.randint(0, ncent, n)
     X = centers[which] + rng.normal(0, 1.0, (n, d)).astype(np.float32)
-    qidx = rng.choice(n, nq, replace=False)
-    Q = X[qidx] + rng.normal(0, 0.05, (nq, d)).astype(np.float32)
+    qwhich = rng.randint(0, ncent, nq)
+    Q = centers[qwhich] + rng.normal(0, 1.0, (nq, d)).astype(np.float32)
     return X.astype(np.float32), Q.astype(np.float32)
 
 
 def main():
+    if os.environ.get("RII_CPU"):  # sitecustomize overrides JAX_PLATFORMS
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     N = int(os.environ.get("SWEEP_N", 1_000_000))
     Qn = int(os.environ.get("SWEEP_Q", 256))
     data = os.environ.get("SWEEP_DATA", "clustered")
@@ -55,10 +63,11 @@ def main():
     if data == "clustered":
         X, queries = synthesize(N, D, Qn)
     else:
+        # uniform DB + INDEPENDENT uniform queries: no planted neighbor, the
+        # true NN's bucket carries no signal — the IVF worst case
         rng = np.random.RandomState(0)
         X = rng.random((N, D)).astype(np.float32)
-        qidx = rng.choice(N, Qn, replace=False)
-        queries = (X[qidx] + rng.normal(0, 0.01, (Qn, D))).astype(np.float32)
+        queries = rng.random((Qn, D)).astype(np.float32)
 
     from rii_tpu import PQ, Rii
 
@@ -86,7 +95,9 @@ def main():
 
     dc = e._ensure_cache()
     L_default = e._multiple_of_L0_covering_topk(topk=topk)
-    Ls = sorted({L_default, 1000, 2000, 5000, 10000, 20000, 50000})
+    # the small-L rows (100, 300) sit BELOW the w-formula's comfortable
+    # range — they show where the dial actually starves the probe
+    Ls = sorted({L_default, 100, 300, 1000, 2000, 5000, 10000, 20000, 50000})
     for L in Ls:
         if L > N:
             continue
@@ -94,6 +105,14 @@ def main():
         ids, _ = e.query_batch(queries, topk=topk, L=L, method="ivf")
         r1 = float((ids[:, :1] == gt[:, None]).any(1).mean())
         r10 = float((ids == gt[:, None]).any(1).mean())
+        # the union scan scores every query against the deduped UNION of the
+        # batch's probes, so full-batch recall >= small-batch recall; report
+        # the Q=8 figure too (the serving-relevant lower bound)
+        ids8 = np.concatenate([
+            e.query_batch(queries[i:i + 8], topk=topk, L=L, method="ivf")[0]
+            for i in range(0, Qn, 8)])
+        r1_8 = float((ids8[:, :1] == gt[:, None]).any(1).mean())
+        r10_8 = float((ids8 == gt[:, None]).any(1).mean())
         lat = {}
         for q in lat_qs:
             qs = queries[:q] if q <= Qn else np.tile(
@@ -107,7 +126,8 @@ def main():
             lat[f"us_per_q_Q{q}"] = round(best / q * 1e6, 2)
         row = {"data": data, "L": L, "wv": int(wv),
                "default_L": L == L_default,
-               "recall@1": round(r1, 4), "recall@10": round(r10, 4)}
+               "recall@1": round(r1, 4), "recall@10": round(r10, 4),
+               "recall@1_Q8": round(r1_8, 4), "recall@10_Q8": round(r10_8, 4)}
         row.update(lat)
         log(row)
         print(json.dumps(row))

@@ -63,8 +63,11 @@ def main():
     t0 = time.perf_counter()
     e.reconfigure(nlist=NLIST)
     out["reconfigure_s"] = time.perf_counter() - t0
+    out["reconfigure_stages"] = {
+        k: round(v, 2) for k, v in e.last_reconfigure_stats.items()}
     log(f"reconfigure(nlist={NLIST}): {out['reconfigure_s']:.1f}s "
-        f"(fit {min(N, NLIST*100)} codes to k={NLIST} + predict {N})")
+        f"(fit {min(N, NLIST*100)} codes to k={NLIST} + predict {N}) "
+        f"stages={out['reconfigure_stages']}")
 
     q512 = rng.standard_normal((512, D)).astype(np.float32)
     t0 = time.perf_counter()
@@ -126,6 +129,31 @@ def main():
     out["post_add_query_ok"] = bool((ids >= 0).all())
     log(f"O(batch) add(+100k): {out['add_100k_s']:.2f}s; "
         f"post-add query ok={out['post_add_query_ok']}")
+
+    if os.environ.get("SHAPE_CKPT"):
+        # checkpoint v2 restore cost at this shape (round-5 VERDICT item 5):
+        # the restored first query should skip the host layout rebuild and
+        # pay only codes[order] gather + H2D + cached compiles
+        import shutil
+        import tempfile
+        from rii_tpu.utils.serialization import load_index, save_index
+        ckpt = os.path.join(tempfile.gettempdir(), "sift1b_ckpt")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        t0 = time.perf_counter()
+        save_index(e, ckpt)
+        out["ckpt_save_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        e2 = load_index(ckpt)
+        out["ckpt_load_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ids2, _ = e2.query_batch(q512[:8], topk=10)
+        out["ckpt_first_query_s"] = time.perf_counter() - t0
+        out["ckpt_query_match"] = bool((ids2 == ids).all())
+        log(f"checkpoint v2: save {out['ckpt_save_s']:.1f}s, "
+            f"load {out['ckpt_load_s']:.1f}s, restored first query "
+            f"{out['ckpt_first_query_s']:.1f}s (was 99 s rebuild), "
+            f"match={out['ckpt_query_match']}")
+        shutil.rmtree(ckpt, ignore_errors=True)
 
     print(json.dumps(out))
 

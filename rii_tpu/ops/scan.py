@@ -102,13 +102,19 @@ def linear_scan_topk(queries, codes, code_norms, codewords, topk, mask=None,
     return dists, ids
 
 
-@partial(jax.jit, static_argnames=("topk", "block", "precision", "recall_target"))
-def linear_scan_topk_decoded(queries, decoded, code_norms, topk, mask=None,
-                             block=8192, precision=_PREC, recall_target=None):
+@partial(jax.jit, static_argnames=("topk", "block", "precision",
+                                   "recall_target", "overfetch"))
+def linear_scan_topk_decoded(queries, decoded, code_norms, topk, codes=None,
+                             codewords=None, mask=None, block=8192,
+                             precision=_PREC, recall_target=None, overfetch=2):
     """Exact ADC scan over the decoded bf16 replica (speed-of-light path).
 
     Same contract as :func:`linear_scan_topk`; `decoded` is (cap, D) bf16 with
-    arbitrary values on padded slots (their inf norms exclude them).
+    arbitrary values on padded slots (their inf norms exclude them). With
+    `codes`/`codewords`, the bf16 selection overfetches `overfetch * topk`
+    candidates and the final top-k is re-ranked in exact f32 ADC (the shared
+    epilogue, ops/pallas_scan._exact_rescore_codes); without, distances carry
+    the documented bf16 cross-term class.
     """
     cap = decoded.shape[0]
     assert cap % block == 0, (cap, block)
@@ -119,7 +125,8 @@ def linear_scan_topk_decoded(queries, decoded, code_norms, topk, mask=None,
     norms = jnp.where(mask, code_norms, jnp.inf) if mask is not None else code_norms
     dec_blocks = decoded.reshape(nb, block, -1)
     norms_blocks = norms.reshape(nb, block)
-    k_eff = min(topk, block)
+    k_sel = topk if codes is None else max(topk * overfetch, topk + 8)
+    k_eff = min(k_sel, block)
 
     def block_fn(args):
         dec_b, norms_b, base = args
@@ -131,6 +138,14 @@ def linear_scan_topk_decoded(queries, decoded, code_norms, topk, mask=None,
     negs, idxs = lax.map(block_fn, (dec_blocks, norms_blocks, bases))
     negs = jnp.swapaxes(negs, 0, 1).reshape(q.shape[0], nb * k_eff)
     idxs = jnp.swapaxes(idxs, 0, 1).reshape(q.shape[0], nb * k_eff)
+    if codes is not None:
+        from rii_tpu.ops.pallas_scan import _exact_rescore_codes
+        k_fetch = min(k_sel, nb * k_eff)
+        neg_top, pos = lax.top_k(negs, k_fetch)
+        ids_a = jnp.take_along_axis(idxs, pos, axis=1)
+        # masked/padded slots carry +inf scores (-inf negs): keep excluded
+        ids_a = jnp.where(jnp.isfinite(neg_top), ids_a, -1)
+        return _exact_rescore_codes(q, ids_a, codes, codewords, norms, topk)
     neg_top, pos = lax.top_k(negs, topk)
     ids = jnp.take_along_axis(idxs, pos, axis=1)
     dists = -neg_top + qsq[:, None]
@@ -138,10 +153,14 @@ def linear_scan_topk_decoded(queries, decoded, code_norms, topk, mask=None,
     return dists, ids
 
 
-@partial(jax.jit, static_argnames=("topk", "precision"))
+@partial(jax.jit, static_argnames=("topk", "precision", "overfetch"))
 def subset_scan_topk_decoded(queries, decoded, code_norms, target_ids, n_targets,
-                             topk, precision=_PREC):
-    """Subset (small-S) scan over the decoded bf16 replica."""
+                             topk, codes=None, codewords=None, precision=_PREC,
+                             overfetch=2):
+    """Subset (small-S) scan over the decoded bf16 replica. With
+    `codes`/`codewords`, the final top-k is overfetched and re-ranked in
+    exact f32 ADC (see linear_scan_topk_decoded); selection-invalid entries
+    (padding repeats with +inf norms) stay excluded via the -inf guard."""
     q = queries.astype(jnp.float32)
     qsq = jnp.sum(q * q, axis=-1)
     s_pad = target_ids.shape[0]
@@ -149,9 +168,16 @@ def subset_scan_topk_decoded(queries, decoded, code_norms, target_ids, n_targets
     dec_s = jnp.take(decoded, target_ids, axis=0)
     norms_s = jnp.where(valid, jnp.take(code_norms, target_ids), jnp.inf)
     s = _block_scores_decoded(q, dec_s, norms_s, precision)
-    k_eff = min(topk, s_pad)
+    k_sel = topk if codes is None else max(topk * overfetch, topk + 8)
+    k_eff = min(k_sel, s_pad)
     neg, pos = lax.top_k(-s, k_eff)
     ids = jnp.take(target_ids, pos)
+    if codes is not None:
+        from rii_tpu.ops.pallas_scan import _exact_rescore_codes
+        ids_a = jnp.where(jnp.isfinite(neg), ids, -1)
+        # code_norms lookup suffices: invalid candidates are already -1
+        return _exact_rescore_codes(q, ids_a, codes, codewords, code_norms,
+                                    topk)
     dists = -neg + qsq[:, None]
     if k_eff < topk:
         pad = topk - k_eff

@@ -41,6 +41,7 @@ from rii_tpu.ops.ivf import (
     ivf_union_scan_topk,
     ivf_union_scan_topk_pq,
 )
+from rii_tpu.ops.pallas_scan import _TN_MIN_Q
 from rii_tpu.ops.scan import linear_scan_topk, linear_scan_topk_decoded
 from rii_tpu.parallel.mesh import make_mesh, put_sharded, DATA_AXIS
 
@@ -125,6 +126,7 @@ class ShardedRii:
     def _refresh_locked(self):
         engine = self.engine
         self.topk_recall = getattr(engine, "topk_recall", None)
+        self.exact_rescore = getattr(engine, "exact_rescore", "auto")
         self._scan_cache = {}
         # snapshot the engine's mutation counter: the delta-add path only
         # trusts its O(batch) scatters when the engine's version advanced by
@@ -484,9 +486,9 @@ class ShardedRii:
         return lax.axis_index(self.axes[0]) * nchips + lax.axis_index(
             self.axes[1])
 
-    def _scan_fn(self, topk, s_pad):
+    def _scan_fn(self, topk, s_pad, rescore=False):
         use_t = self.decoded_t is not None
-        key = (topk, self.decoded is not None, use_t, s_pad)
+        key = (topk, self.decoded is not None, use_t, s_pad, rescore)
         if key in self._scan_cache:
             return self._scan_cache[key]
         shard_cap = self.cap // self.ndev
@@ -531,17 +533,26 @@ class ShardedRii:
                              + jnp.arange(ck, dtype=jnp.int32))
                     member = _searchsorted_member(tids, nt, gid_c)
                     norms_c = jnp.where(member, norms_c, jnp.inf)
+                # per-shard exact-f32 rescore (Rii.exact_rescore, resolved by
+                # the caller): chunk-local ids index the chunk's code rows, so
+                # the shared epilogue runs unchanged inside shard_map; each
+                # shard's candidates then carry exact ADC distances into the
+                # cross-shard merge (comparable across shards by construction)
+                rs_codes = (lax.slice_in_dim(codes_l, lo, lo + ck)
+                            if rescore else None)
+                rs_cw = codewords if rescore else None
                 if use_t:
                     from rii_tpu.ops.pallas_scan import replica_scan_topk_t
                     nr_c = norms_c[None, :]
                     d_c, i_c = replica_scan_topk_t(
                         queries, lax.slice_in_dim(dec_l, lo, lo + ck, axis=1),
-                        nr_c, topk=topk, recall_target=rt)
+                        nr_c, topk=topk, codes=rs_codes, codewords=rs_cw,
+                        recall_target=rt)
                 elif use_dec:
                     d_c, i_c = linear_scan_topk_decoded(
                         queries, lax.slice_in_dim(dec_l, lo, lo + ck),
-                        norms_c, topk=topk, block=min(blk, ck),
-                        recall_target=rt)
+                        norms_c, topk=topk, codes=rs_codes, codewords=rs_cw,
+                        block=min(blk, ck), recall_target=rt)
                 else:
                     d_c, i_c = linear_scan_topk(
                         queries, lax.slice_in_dim(codes_l, lo, lo + ck),
@@ -814,7 +825,13 @@ class ShardedRii:
             dec = self.norms[:, None]
         zero = jnp.zeros((), jnp.int32)
         s_pad = None if tids is None else int(tids.shape[0])
-        d, i = self._scan_fn(topk, s_pad)(
+        # mirror Rii._resolve_rescore: exact-f32 epilogue on the bf16 tiers,
+        # auto-on below the big-Q crossover (distances then match the
+        # single-device engine's exactly)
+        mode = getattr(self, "exact_rescore", "auto")
+        rescore = (queries.shape[0] < _TN_MIN_Q) if mode == "auto" \
+            else bool(mode)
+        d, i = self._scan_fn(topk, s_pad, rescore=rescore)(
             jnp.asarray(queries), self.codes, self.norms, self.codewords, dec,
             tids if tids is not None else zero,
             nt if nt is not None else zero)

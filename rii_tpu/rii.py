@@ -345,25 +345,41 @@ class Rii:
         assert nlist <= self._n, "nlist must be <= N"
         iter = max(1, int(iter))
 
+        stats = {}
         with self._state_lock.write():  # exclusive vs in-flight queries
+            t0 = time.perf_counter()
             codes = self._consolidated_codes()
+            stats["consolidate_s"] = time.perf_counter() - t0
             n_train = min(self._n, nlist * 100)
+            t0 = time.perf_counter()
             pick = np.random.RandomState(
                 _RECONFIGURE_SAMPLE_SEED).permutation(self._n)[:n_train]
+            sample = codes[pick]
+            stats["sample_s"] = time.perf_counter() - t0
             if self._verbose:
                 print(f"Training coarse centers on {n_train} codes "
                       f"(nlist={nlist})")
+            t0 = time.perf_counter()
             centers, _ = pqkmeans_fit(
-                self.codewords, codes[pick], k=nlist, iters=iter,
+                self.codewords, sample, k=nlist, iters=iter,
                 seed=_PQKMEANS_SEED, verbose=self._verbose,
             )
+            stats["fit_s"] = time.perf_counter() - t0
             self._centers = centers
+            t0 = time.perf_counter()
             assign = pqkmeans_predict(self.codewords, centers, codes)
+            stats["predict_s"] = time.perf_counter() - t0
             self._assign_chunks = [assign.astype(np.int32)]
             # new assignments invalidate any loaded layout adoption state
             # even at identical (n, nlist) — see load_index / _build_cache
             self._layout_v = None
             self._bump()
+        # per-stage breakdown of the last reconfigure (metrics parity with
+        # the reference's verbose prints; SIFT1B_SHAPE.md uses it)
+        self.last_reconfigure_stats = stats
+        if self._verbose:
+            print("reconfigure stages:",
+                  {k: round(v, 2) for k, v in stats.items()})
 
         # calibration issues queries itself, so it runs OUTSIDE the write lock
         if calibrate:
@@ -745,7 +761,9 @@ class Rii:
                                          recall_target=rt)
             elif decoded is not None:
                 d, i = linear_scan_topk_decoded(qd, decoded, dc["norms_flat"],
-                                                topk=topk, block=dc["block_dec"],
+                                                topk=topk, codes=rs_codes,
+                                                codewords=rs_cw,
+                                                block=dc["block_dec"],
                                                 recall_target=rt)
             elif "pallas_codes_t" in dc:
                 d, i = pq_scan_topk_t(qd, dc["pallas_codes_t"],
@@ -798,7 +816,9 @@ class Rii:
                                          recall_target=rt)
             elif decoded is not None:
                 d, i = linear_scan_topk_decoded(qd, decoded, dc["norms_flat"],
-                                                topk=topk, mask=jnp.asarray(mask),
+                                                topk=topk, codes=rs_codes,
+                                                codewords=rs_cw,
+                                                mask=jnp.asarray(mask),
                                                 block=dc["block_dec"],
                                                 recall_target=rt)
             elif "pallas_codes_t" in dc:
@@ -822,7 +842,9 @@ class Rii:
             if decoded is not None:
                 d, i = subset_scan_topk_decoded(qd, decoded, dc["norms_flat"],
                                                 jnp.asarray(tids_pad),
-                                                jnp.int32(s), topk=topk)
+                                                jnp.int32(s), topk=topk,
+                                                codes=rs_codes,
+                                                codewords=rs_cw)
             else:
                 d, i = subset_scan_topk(qd, dc["codes_flat"], dc["norms_flat"],
                                         dc["codewords"], jnp.asarray(tids_pad),

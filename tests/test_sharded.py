@@ -141,3 +141,25 @@ def test_sharded_ivf_default_L_contracts():
     for row in ids:
         row = row[row >= 0]
         assert len(set(row.tolist())) == len(row)
+
+
+def test_sharded_rescore_distances_are_exact_adc():
+    """Round-5: the per-shard exact-f32 rescore epilogue (auto-on at small Q)
+    makes ShardedRii's returned distances equal the exact ADC oracle —
+    bit-comparable across shards, so the cross-shard merge stays correct."""
+    from rii_tpu.parallel import ShardedRii
+    from rii_tpu.utils.oracle import adc_np, dtable_np
+
+    x, pq, codes, norms = _index()
+    e = Rii(fine_quantizer=pq)
+    e.scan_mode = "bf16"
+    e.add_configure(vecs=x, nlist=16)
+    sr = ShardedRii(e, use_decoded=True)
+    q = x[:6]
+    ids, dists = sr.query_batch(q, topk=5)
+    for i in range(len(q)):
+        dt = dtable_np(q[i], pq.codewords)
+        valid = ids[i] >= 0
+        ref = np.array([adc_np(dt, codes[j:j + 1])[0]
+                        for j in ids[i][valid]])
+        np.testing.assert_allclose(dists[i][valid], ref, rtol=2e-5, atol=1e-5)
