@@ -73,7 +73,11 @@ def main():
     t0 = time.perf_counter()
     e.query_batch(q512[:8], topk=10)
     out["first_query_s"] = time.perf_counter() - t0
-    log(f"first query (cache build + compile): {out['first_query_s']:.1f}s")
+    out["cache_build_stages"] = {
+        k: (round(v, 2) if isinstance(v, float) else v)
+        for k, v in getattr(e, "last_cache_build_stats", {}).items()}
+    log(f"first query (cache build + compile): {out['first_query_s']:.1f}s "
+        f"stages={out['cache_build_stages']}")
 
     # device-resident IVF timing (fori differencing: the dev tunnel's ~60 ms
     # per-call protocol overhead dominates public-API wall time at ANY shape,
@@ -148,6 +152,9 @@ def main():
         t0 = time.perf_counter()
         ids2, _ = e2.query_batch(q512[:8], topk=10)
         out["ckpt_first_query_s"] = time.perf_counter() - t0
+        out["ckpt_cache_build_stages"] = {
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in getattr(e2, "last_cache_build_stats", {}).items()}
         out["ckpt_query_match"] = bool((ids2 == ids).all())
         log(f"checkpoint v2: save {out['ckpt_save_s']:.1f}s, "
             f"load {out['ckpt_load_s']:.1f}s, restored first query "

@@ -151,20 +151,29 @@ def _fit(codewords, codes_gb, weights_gb, centers0, iters):
 
 
 @jax.jit
-def _predict(codewords, codes_blocks, weights_blocks, centers_codes):
+def _predict(codewords, codes_blocks, centers_codes):
+    # weights only matter for center updates (collect=True); assignment is
+    # row-independent, so predict skips the (N,) f32 weights H2D entirely
+    # (128 MB of ones at N=32M on the ~85 MB/s tunnel)
+    w = jnp.zeros(codes_blocks.shape[:2], jnp.float32)
     assigns, _, _, _ = _assign_blocks(
-        codewords, codes_blocks, weights_blocks, centers_codes, collect=False)
+        codewords, codes_blocks, w, centers_codes, collect=False)
+    if centers_codes.shape[0] <= 65535:
+        # smallest-dtype D2H (the tunnel reads back at ~20 MB/s): uint16
+        # halves the 32M-row transfer; the caller widens to int32 on host
+        assigns = assigns.astype(jnp.uint16)
     return assigns
 
 
-def _pad_blocks(codes, block, n_blocks=None):
+def _pad_blocks(codes, block, n_blocks=None, weights=True):
     """(N, M) -> codes_blocks (nb, B, M) int32, weights (nb, B) f32.
 
     Padding rows carry weight 0 (a +0.0 contribution leaves f32 sums bitwise
     unchanged); n_blocks forces extra all-padding blocks so nb is divisible by
     the group/device count. Codes ship as uint8 — one_hot consumes them
     directly, and the tunnel H2D is ~85 MB/s, so int32 would cost 4x the
-    transfer (512 MB vs 128 MB for a 16M-row predict at M=8).
+    transfer (512 MB vs 128 MB for a 16M-row predict at M=8). weights=False
+    skips the weights upload (predict never reads them).
     """
     n, m = codes.shape
     nb = -(-n // block)
@@ -174,6 +183,8 @@ def _pad_blocks(codes, block, n_blocks=None):
     npad = nb * block
     cb = np.zeros((npad, m), dtype=np.uint8)
     cb[:n] = codes
+    if not weights:
+        return jnp.asarray(cb.reshape(nb, block, m)), None
     w = np.zeros((npad,), dtype=np.float32)
     w[:n] = 1.0
     return (jnp.asarray(cb.reshape(nb, block, m)),
@@ -235,7 +246,7 @@ def pqkmeans_predict(codewords, centers, codes, block=4096):
         return np.zeros((0,), dtype=np.int32)
     cw = jnp.asarray(codewords, dtype=jnp.float32)
     blk = min(block, _pow2_at_least(n, 256))
-    codes_blocks, weights_blocks = _pad_blocks(codes, blk)
+    codes_blocks, _ = _pad_blocks(codes, blk, weights=False)
     centers_j = jnp.asarray(np.asarray(centers).astype(np.int32))
-    assigns = _predict(cw, codes_blocks, weights_blocks, centers_j)
+    assigns = _predict(cw, codes_blocks, centers_j)
     return np.asarray(assigns).reshape(-1)[:n].astype(np.int32)

@@ -1116,6 +1116,8 @@ class Rii:
             return self._build_cache()
 
     def _build_cache(self):
+        stats = {}
+        t0 = time.perf_counter()
         codes = self._consolidated_codes()
         cw = np.asarray(self.codewords, dtype=np.float32)
         nc = self._norms_cache
@@ -1124,6 +1126,8 @@ class Rii:
             norms = np.asarray(nc, dtype=np.float32)  # checkpoint v2 adoption
         else:
             norms = code_norms_np(cw, codes)
+        stats["norms_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         cap = _pow2_at_least(max(self._n, self._cap_reserve, 1), 1024)
         block = min(8192, cap)  # pq path: bounds the one-hot decode transient
         block_dec = min(262144, cap)  # decoded replica path: GEMM-friendly
@@ -1141,6 +1145,8 @@ class Rii:
             "codes_flat": jnp.asarray(codes_flat),
             "norms_flat": jnp.asarray(norms_flat),
         }
+        stats["flat_h2d_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         resolved = self._resolve_scan_mode(cap)
         dc["mode"] = resolved
         if resolved == "bf16":
@@ -1177,6 +1183,8 @@ class Rii:
             dc["pallas_codes_t"] = codes_t
             dc["pallas_norms2"] = norms2
             dc["pallas_cw"] = cwt
+        stats["replica_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         if self._centers is not None:
             nlist = self.nlist
             nlist_pad = _pow2_at_least(nlist, 8)
@@ -1239,6 +1247,9 @@ class Rii:
             else:
                 ul = build_virtual_layout(codes, norms, self._assignments(),
                                           nlist, headroom=h)
+            stats["adopted_layout"] = lv is not None
+            stats["layout_s"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
             vreal_c = ul["vreal"]
             cdv_c = centers_dec[np.clip(vreal_c, 0, nlist_pad - 1)]
             cnv_c = np.where(vreal_c >= 0, centers_norms[
@@ -1304,6 +1315,10 @@ class Rii:
                 if "pallas_cw" not in dc and self._use_pallas_scan():
                     from rii_tpu.ops.pallas_scan import build_padded_codewords
                     dc["pallas_cw"] = build_padded_codewords(cw)
+            stats["windows_s"] = time.perf_counter() - t0
+        # per-stage breakdown of the last cache build (SIFT1B_SHAPE.md cost
+        # accounting; timings include the H2D each stage dispatches)
+        self.last_cache_build_stats = stats
         self._dc = dc
         return dc
 
