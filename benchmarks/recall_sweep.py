@@ -92,6 +92,15 @@ def main():
     rl1 = float((ids_lin[:, :1] == gt[:, None]).any(1).mean())
     rl10 = float((ids_lin == gt[:, None]).any(1).mean())
     log(f"linear exact-ADC: recall@1={rl1:.3f} recall@10={rl10:.3f}")
+    print(json.dumps({"data": data, "linear_recall@1": round(rl1, 4),
+                      "linear_recall@10": round(rl10, 4)}))
+    lin_sets = [set(r.tolist()) for r in ids_lin]
+
+    def coverage(ids_rows):
+        # the metric L actually tunes: fraction of the exact-ADC linear
+        # top-k the probe's candidate set recovered (codec factored out)
+        return float(np.mean([len(set(r.tolist()) & s) / topk
+                              for r, s in zip(ids_rows, lin_sets)]))
 
     dc = e._ensure_cache()
     L_default = e._multiple_of_L0_covering_topk(topk=topk)
@@ -127,7 +136,9 @@ def main():
         row = {"data": data, "L": L, "wv": int(wv),
                "default_L": L == L_default,
                "recall@1": round(r1, 4), "recall@10": round(r10, 4),
-               "recall@1_Q8": round(r1_8, 4), "recall@10_Q8": round(r10_8, 4)}
+               "recall@1_Q8": round(r1_8, 4), "recall@10_Q8": round(r10_8, 4),
+               "coverage": round(coverage(ids), 4),
+               "coverage_Q8": round(coverage(ids8), 4)}
         row.update(lat)
         log(row)
         print(json.dumps(row))
