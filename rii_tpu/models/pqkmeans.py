@@ -234,19 +234,33 @@ def pqkmeans_fit(codewords, codes, k, iters=5, seed=0, block=4096, verbose=False
             np.asarray(assigns).reshape(-1)[:n].astype(np.int32))
 
 
+def predict_upload(codes, block=4096):
+    """Dispatch the (async) H2D upload of the blocked codes for a later
+    :func:`pqkmeans_predict_device` call. Reconfigure issues this BEFORE the
+    clustering fit so the 256 MB-class transfer (N=32M, M=8) overlaps the
+    fit's device time instead of serializing after it."""
+    codes = np.asarray(codes)
+    n = codes.shape[0]
+    blk = min(block, _pow2_at_least(max(n, 1), 256))
+    codes_blocks, _ = _pad_blocks(codes, blk, weights=False)
+    return codes_blocks, n
+
+
+def pqkmeans_predict_device(codewords, centers, codes_blocks, n):
+    """Predict over pre-uploaded blocked codes (see predict_upload)."""
+    if n == 0:
+        return np.zeros((0,), dtype=np.int32)
+    cw = jnp.asarray(codewords, dtype=jnp.float32)
+    centers_j = jnp.asarray(np.asarray(centers).astype(np.int32))
+    assigns = _predict(cw, codes_blocks, centers_j)
+    return np.asarray(assigns).reshape(-1)[:n].astype(np.int32)
+
+
 def pqkmeans_predict(codewords, centers, codes, block=4096):
     """Assign each PQ code to its nearest center (symmetric distance argmin).
 
     The TPU equivalent of UpdatePostingLists' predict_one loop
     (/root/reference/src/rii.h:335-359).
     """
-    codes = np.asarray(codes)
-    n = codes.shape[0]
-    if n == 0:
-        return np.zeros((0,), dtype=np.int32)
-    cw = jnp.asarray(codewords, dtype=jnp.float32)
-    blk = min(block, _pow2_at_least(n, 256))
-    codes_blocks, _ = _pad_blocks(codes, blk, weights=False)
-    centers_j = jnp.asarray(np.asarray(centers).astype(np.int32))
-    assigns = _predict(cw, codes_blocks, centers_j)
-    return np.asarray(assigns).reshape(-1)[:n].astype(np.int32)
+    codes_blocks, n = predict_upload(codes, block=block)
+    return pqkmeans_predict_device(codewords, centers, codes_blocks, n)

@@ -23,7 +23,12 @@ import jax.numpy as jnp
 
 from rii_tpu.models.pq import PQ
 from rii_tpu.models.opq import OPQ
-from rii_tpu.models.pqkmeans import pqkmeans_fit, pqkmeans_predict
+from rii_tpu.models.pqkmeans import (
+    pqkmeans_fit,
+    pqkmeans_predict,
+    pqkmeans_predict_device,
+    predict_upload,
+)
 from rii_tpu.models.ivf import (
     append_placement,
     build_grouped_layout,
@@ -359,6 +364,12 @@ class Rii:
             if self._verbose:
                 print(f"Training coarse centers on {n_train} codes "
                       f"(nlist={nlist})")
+            # dispatch the all-N codes upload for the post-fit predict NOW:
+            # jax transfers are async, so the 256 MB-class H2D (N=32M, M=8)
+            # overlaps the fit's device time instead of serializing after it
+            t0 = time.perf_counter()
+            codes_blocks, n_up = predict_upload(codes)
+            stats["predict_upload_s"] = time.perf_counter() - t0
             t0 = time.perf_counter()
             centers, _ = pqkmeans_fit(
                 self.codewords, sample, k=nlist, iters=iter,
@@ -367,8 +378,10 @@ class Rii:
             stats["fit_s"] = time.perf_counter() - t0
             self._centers = centers
             t0 = time.perf_counter()
-            assign = pqkmeans_predict(self.codewords, centers, codes)
+            assign = pqkmeans_predict_device(self.codewords, centers,
+                                             codes_blocks, n_up)
             stats["predict_s"] = time.perf_counter() - t0
+            del codes_blocks
             self._assign_chunks = [assign.astype(np.int32)]
             # new assignments invalidate any loaded layout adoption state
             # even at identical (n, nlist) — see load_index / _build_cache
