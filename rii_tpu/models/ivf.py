@@ -20,13 +20,21 @@ _PAD = 8  # slot alignment per bucket (f32 sublane tile)
 
 
 def code_norms_np(codewords, codes):
-    """||decode(code)||^2 per row, on host: (N, M) uint8 -> (N,) f32."""
+    """||decode(code)||^2 per row, on host: (N, M) uint8 -> (N,) f32.
+
+    Per-column uint8 gathers: a single fancy-index over the (N, M) array
+    materializes an int64 index copy (2 GB at N=32M) and measured 8-20x
+    slower than this loop (27.6 s -> ~2 s for the SIFT1B-shape first-query
+    norms pass, SIFT1B_SHAPE.md)."""
     cw = np.asarray(codewords, dtype=np.float32)
     cnorms = np.sum(cw * cw, axis=-1)  # (M, Ks)
     m = cnorms.shape[0]
     if codes.shape[0] == 0:
         return np.zeros((0,), np.float32)
-    return cnorms[np.arange(m)[None, :], codes.astype(np.int64)].sum(axis=1).astype(np.float32)
+    out = cnorms[0][codes[:, 0]]
+    for j in range(1, m):
+        out += cnorms[j][codes[:, j]]
+    return out.astype(np.float32, copy=False)
 
 
 def build_grouped_layout(codes, norms, assignments, nlist):
